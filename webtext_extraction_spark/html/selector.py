@@ -1,0 +1,143 @@
+"""CSS selector subset — exactly the grammar the reference uses.
+
+Covers every selector appearing in the reference extractor
+(/root/reference/common_scripts/web_text_extractor_ver1.5.py):
+
+- tag, ``.class`` (multi), ``#id``, compound combinations
+  (``section.article``, ``h1.FAo.dyH``)        — W:1244-1248, W:1018
+- attribute selectors ``[attr="v"]`` / ``[attr='v']`` exact and
+  ``[attr*='v']`` substring                     — W:1247, W:1000-1004, W:1075
+- comma groups                                  — W:1259, W:1216
+- descendant combinator (whitespace)            — W:1000, W:1021
+- adjacent-sibling combinator ``+``             — W:1057, W:1072
+
+No general CSS engine: pseudo-classes, child (``>``), sibling (``~``)
+are unsupported by design (absent from the reference).
+
+Matching returns elements in document order, like bs4 ``select``.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+_COMPOUND_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)?
+    (?P<rest>(?:
+        \.[\w-]+ |
+        \#[\w-]+ |
+        \[[^\]]+\]
+    )*)
+    """,
+    re.VERBOSE,
+)
+
+_PART_RE = re.compile(r"\.([\w-]+)|#([\w-]+)|\[([^\]]+)\]")
+_ATTR_RE = re.compile(r"""^\s*([\w-]+)\s*(\*?=)\s*(?:"([^"]*)"|'([^']*)'|([^\s\]]*))\s*$""")
+
+
+class _Compound:
+    __slots__ = ("tag", "classes", "ids", "attrs")
+
+    def __init__(self, tag, classes, ids, attrs):
+        self.tag = tag
+        self.classes = classes
+        self.ids = ids
+        self.attrs = attrs  # list of (name, op, value); op in {"=", "*="}
+
+    def matches(self, el) -> bool:
+        if self.tag and self.tag != "*" and el.name != self.tag:
+            return False
+        if self.classes:
+            cls = el.class_list()
+            if not all(c in cls for c in self.classes):
+                return False
+        for i in self.ids:
+            if el.attrs.get("id") != i:
+                return False
+        for name, op, value in self.attrs:
+            actual = el.attrs.get(name)
+            if actual is None:
+                return False
+            if op == "=" and actual != value:
+                return False
+            if op == "*=" and value not in actual:
+                return False
+        return True
+
+
+def _parse_compound(token: str) -> _Compound:
+    m = _COMPOUND_RE.match(token)
+    if not m or m.end() != len(token):
+        raise ValueError(f"unsupported selector token: {token!r}")
+    classes, ids, attrs = [], [], []
+    for cm in _PART_RE.finditer(m.group("rest") or ""):
+        if cm.group(1):
+            classes.append(cm.group(1))
+        elif cm.group(2):
+            ids.append(cm.group(2))
+        else:
+            am = _ATTR_RE.match(cm.group(3))
+            if not am:
+                raise ValueError(f"unsupported attribute selector: [{cm.group(3)}]")
+            value = next(v for v in am.groups()[2:] if v is not None)
+            attrs.append((am.group(1), am.group(2), value))
+    return _Compound(m.group("tag"), classes, ids, attrs)
+
+
+@lru_cache(maxsize=512)
+def _parse_selector(selector: str):
+    """Parse into a list of alternatives; each alternative is a list of
+    (combinator, _Compound) with combinator in {'descendant', 'adjacent'}
+    applied between the previous compound and this one."""
+    groups = []
+    for alt in selector.split(","):
+        alt = alt.strip()
+        if not alt:
+            continue
+        tokens = alt.replace("+", " + ").split()
+        chain = []
+        combinator = "descendant"
+        for tok in tokens:
+            if tok == "+":
+                combinator = "adjacent"
+                continue
+            chain.append((combinator, _parse_compound(tok)))
+            combinator = "descendant"
+        if chain:
+            groups.append(chain)
+    return groups
+
+
+def _chain_matches(el, chain, idx) -> bool:
+    """Does ``el`` terminate ``chain[:idx+1]``?"""
+    comb, compound = chain[idx]
+    if not compound.matches(el):
+        return False
+    if idx == 0:
+        return True
+    if comb == "adjacent":
+        prev = el.prev_element_sibling()
+        return prev is not None and _chain_matches(prev, chain, idx - 1)
+    # descendant: some ancestor terminates the prefix
+    for anc in el.ancestors():
+        if anc.name == "[document]":
+            break
+        if _chain_matches(anc, chain, idx - 1):
+            return True
+    return False
+
+
+def select(root, selector: str) -> list:
+    """All live descendant elements of ``root`` matching ``selector``,
+    in document order (bs4 ``select`` contract)."""
+    groups = _parse_selector(selector)
+    out = []
+    for el in root.descendants():
+        for chain in groups:
+            if _chain_matches(el, chain, len(chain) - 1):
+                out.append(el)
+                break
+    return out

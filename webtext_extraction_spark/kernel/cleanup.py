@@ -1,0 +1,158 @@
+"""C1–C5 cleanup chain + A2 near-duplicate paragraph removal + F8
+nav-only detector, over TrackedText so span provenance survives.
+
+Faithful to /root/reference/common_scripts/web_text_extractor_ver1.5.py:
+- ``cleanup_extracted_text``  ← W:161-208 (_cleanup_extracted_text)
+- ``remove_duplicate_content`` ← W:297-343 (_remove_duplicate_content)
+- ``jina_markdown_cleanup``    ← W:87-106 (the Jina post-strip chain)
+- ``is_nav_only``              ← W:210-295 (_is_pinterest_navigation_error)
+
+Operation ORDER matters for byte equality and is preserved exactly;
+the two different blank-line-collapse regexes (SURVEY.md §7.5 Q2) are
+kept path-faithful: W:190 collapses only 3+ blank-ish lines, W:106 /
+W:818 collapse 2+.
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+
+import numpy as np
+
+from webtext_extraction_spark import rules
+from webtext_extraction_spark.kernel.tracked import TrackedText
+
+# C1 — URL strip chain (W:181-187); order matters
+_URL_HTTP = re.compile(r"https?://\S+")
+_URL_WWW = re.compile(r"www\.\S+")
+# W:187 verbatim semantics: broad heuristic URL matcher incl. unicode quotes
+_URL_BROAD = re.compile(
+    r"(?i)\b((?:https?://|www\d{0,3}[.]|[a-z0-9.\-]+[.][a-z]{2,4}/)"
+    r"(?:[^\s()<>]+|\(([^\s()<>]+|(\([^\s()<>]+\)))*\))+"
+    r"(?:\(([^\s()<>]+|(\([^\s()<>]+\)))*\)|[^\s`!()\[\]{};:\'\".,<>?«»“”‘’]))"
+)
+# C3 — the two blank-line-collapse variants (Q2)
+_BLANK3 = re.compile(r"\n\s*\n\s*\n+")   # W:190 (cleanup path)
+_BLANK2 = re.compile(r"\n\s*\n")          # W:106 (Jina), W:818 (chiebukuro)
+
+# C2 — Jina/markdown cleanup chain (W:89-103)
+_MD_TITLE = re.compile(r"^Title:.*\n?", re.MULTILINE)
+_MD_URLSRC = re.compile(r"^URL Source:.*\n?", re.MULTILINE)
+_MD_PUBTIME = re.compile(r"^Published Time:.*\n?", re.MULTILINE)
+_MD_MDCONTENT = re.compile(r"^Markdown Content:\n?", re.MULTILINE)
+_MD_SOURCELINK = re.compile(r"\[Source\]\(https://r\.jina\.ai/[^)]+\)\s*")
+_MD_IMGLINK = re.compile(r"\[!\[[^\]]*\]\([^)]*\)\]\([^)]*\)\s*")
+_MD_IMG = re.compile(r"!\[[^\]]*\]\([^)]*\)\s*")
+_MD_LINK = re.compile(r"\[[^\]]*\]\([^)]*\)\s*")
+_MD_IMGTAG = re.compile(r"<img[^>]*>\s*")
+
+_CONTENT_INDICATORS = [re.compile(p) for p in rules.CONTENT_INDICATOR_PATTERNS]
+
+
+def remove_duplicate_content(tt: TrackedText) -> TrackedText:
+    """A2 — greedy order-preserving near-dup paragraph removal (W:297-343).
+
+    Paragraph split on '\\n\\n', per-paragraph strip, drop empties;
+    a paragraph is dropped iff difflib ratio > 0.8 against any *kept*
+    earlier paragraph (strict >, vs-kept-only — SURVEY.md Q6); when at
+    least 2 paragraphs exist the result is the '\\n\\n' join of kept,
+    stripped paragraphs, otherwise the input is returned unchanged
+    (including when below the 100-char activation threshold, W:307).
+    """
+    if not tt.text or len(tt.text.strip()) < 100:
+        return tt
+    paragraphs = [p.strip() for p in tt.split("\n\n")]
+    paragraphs = [p for p in paragraphs if p.text]
+    if len(paragraphs) < 2:
+        return tt
+    kept: list[TrackedText] = []
+    kept_texts: list[str] = []
+    for para in paragraphs:
+        is_dup = False
+        for seen in kept_texts:
+            if SequenceMatcher(None, para.text, seen).ratio() > 0.8:
+                is_dup = True
+                break
+        if not is_dup:
+            kept.append(para)
+            kept_texts.append(para.text)
+    return TrackedText.join("\n\n", kept)
+
+
+def _printable_filter(tt: TrackedText) -> TrackedText:
+    """C5 — drop U+FFFD then keep \\n\\t\\r plus str.isprintable chars
+    (W:196-203).  Python ``isprintable`` drops all Cc/Cf/Zl/Zp and all
+    Zs except ' ' — no SQL builtin matches, hence kernel-side."""
+    tt = tt.sub(re.compile("�"), "")
+    if not tt.text:
+        return tt
+    keep = np.fromiter(
+        ((ch in "\n\t\r") or ch.isprintable() for ch in tt.text),
+        dtype=bool,
+        count=len(tt.text),
+    )
+    if keep.all():
+        return tt
+    return tt.filter_chars(keep)
+
+
+def cleanup_extracted_text(tt: TrackedText) -> TrackedText:
+    """The full post-extraction cleanup chain, order-exact (W:161-208):
+    URL strip ×3 → 3+-blank-line collapse → strip → U+FFFD/unprintable
+    filter → near-dup paragraph removal."""
+    if not tt.text:
+        return tt
+    tt = tt.sub(_URL_HTTP, "")
+    tt = tt.sub(_URL_WWW, "")
+    tt = tt.sub(_URL_BROAD, "")
+    tt = tt.sub(_BLANK3, "\n\n")
+    tt = tt.strip()
+    tt = _printable_filter(tt)
+    tt = remove_duplicate_content(tt)
+    return tt
+
+
+def jina_markdown_cleanup(tt: TrackedText) -> TrackedText:
+    """C2 — reader-service markdown post-strip (W:89-106), ending with
+    the 2-blank-line collapse variant and strip."""
+    tt = tt.sub(_MD_TITLE, "")
+    tt = tt.sub(_MD_URLSRC, "")
+    tt = tt.sub(_MD_PUBTIME, "")
+    tt = tt.sub(_MD_MDCONTENT, "")
+    tt = tt.sub(_MD_SOURCELINK, "")
+    tt = tt.sub(_MD_IMGLINK, "")
+    tt = tt.sub(_MD_IMG, "")
+    tt = tt.sub(_MD_LINK, "")
+    tt = tt.sub(_MD_IMGTAG, "")
+    tt = tt.sub(_BLANK2, "\n\n")
+    return tt.strip()
+
+
+def collapse_blank2(tt: TrackedText) -> TrackedText:
+    """W:818 variant used by the chiebukuro handler."""
+    return tt.sub(_BLANK2, "\n\n")
+
+
+def is_nav_only(text: str) -> bool:
+    """F8 — nav-only page detector (W:210-295), pure predicate."""
+    if not text or len(text.strip()) == 0:
+        return False
+    for rx in _CONTENT_INDICATORS:
+        if rx.search(text):
+            return False
+    nav_char_count = 0
+    total_nav_phrases = 0
+    for phrase in rules.NAV_PHRASES:
+        if phrase in text:
+            nav_char_count += len(phrase)
+            total_nav_phrases += 1
+    total = len(text.strip())
+    if total_nav_phrases >= rules.NAV_MIN_PHRASES and total > 0:
+        if nav_char_count / total > rules.NAV_RATIO_THRESHOLD:
+            return True
+    normalized_text = " ".join(text.split())
+    normalized_pattern = " ".join(rules.STRICT_NAV_PATTERN.split())
+    if len(normalized_text) < rules.STRICT_NAV_MAX_LEN and normalized_pattern in normalized_text:
+        return True
+    return False
