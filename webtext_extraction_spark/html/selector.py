@@ -87,17 +87,60 @@ def _parse_compound(token: str) -> _Compound:
     return _Compound(m.group("tag"), classes, ids, attrs)
 
 
+def _tokenize(alt: str) -> list[str]:
+    """Split a selector alternative on whitespace / ``+`` outside
+    brackets (attr values may contain spaces and ``+``)."""
+    tokens: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in alt:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if depth == 0 and (ch.isspace() or ch == "+"):
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            if ch == "+":
+                tokens.append("+")
+            continue
+        buf.append(ch)
+    if buf:
+        tokens.append("".join(buf))
+    return tokens
+
+
+def _split_groups(selector: str) -> list[str]:
+    """Split on commas outside brackets."""
+    groups: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in selector:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if depth == 0 and ch == ",":
+            groups.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    groups.append("".join(buf))
+    return groups
+
+
 @lru_cache(maxsize=512)
 def _parse_selector(selector: str):
     """Parse into a list of alternatives; each alternative is a list of
     (combinator, _Compound) with combinator in {'descendant', 'adjacent'}
     applied between the previous compound and this one."""
     groups = []
-    for alt in selector.split(","):
+    for alt in _split_groups(selector):
         alt = alt.strip()
         if not alt:
             continue
-        tokens = alt.replace("+", " + ").split()
+        tokens = _tokenize(alt)
         chain = []
         combinator = "descendant"
         for tok in tokens:

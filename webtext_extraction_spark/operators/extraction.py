@@ -1,0 +1,141 @@
+"""The extraction DataFrame operator — one Arrow-batched pandas UDF.
+
+``extract_turns(df)`` maps the transcripts table
+(conv_id, turn_idx, role, text, tool, ts) to the output table with
+(extracted_text, spans, strategy, status, url, domain) appended.
+
+Design notes (SURVEY.md §2.11, §4):
+- Exactly ONE scalar pandas UDF carries the whole D1–D5 cascade +
+  C1–C5 cleanup + A2 dedup: one Arrow round-trip per batch instead of
+  five, with the staged thresholds evaluated inside the kernel.
+- The rule bundle travels to executors once per job via
+  ``SparkContext.broadcast`` (J3 — rule-table broadcast); the UDF
+  closure only captures the broadcast handle.
+- Everything around the UDF (status layering, ordering, filtering) is
+  built-in column expressions → whole-stage codegen.
+- No per-row Python UDF anywhere (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from webtext_extraction_spark import rules as rules_mod
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("kind", StringType()),
+        ]
+    )
+)
+
+EXTRACT_RESULT_TYPE = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("strategy", StringType()),
+        StructField("status", StringType()),
+        StructField("url", StringType()),
+        StructField("domain", StringType()),
+    ]
+)
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _extract_batch(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+    # imported inside so the python worker resolves them after fork
+    from webtext_extraction_spark.kernel.extract import derive_url_and_domain, extract_payload
+
+    out = {
+        "extracted_text": [],
+        "spans": [],
+        "strategy": [],
+        "status": [],
+        "url": [],
+        "domain": [],
+    }
+    for payload, tool in zip(texts, tools):
+        payload = payload if isinstance(payload, str) else ""
+        tool = tool if isinstance(tool, str) else ""
+        result = extract_payload(payload, tool)
+        url, domain = derive_url_and_domain(payload)
+        out["extracted_text"].append(result.text)
+        out["spans"].append(
+            [(sp["start"], sp["end"], sp["kind"]) for sp in result.spans]
+        )
+        out["strategy"].append(result.strategy)
+        out["status"].append(result.status)
+        out["url"].append(url)
+        out["domain"].append(domain)
+    return pd.DataFrame(out)
+
+
+@pandas_udf(EXTRACT_RESULT_TYPE)
+def extract_udf(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+    return _extract_batch(texts, tools)
+
+
+def with_error_pattern_status(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """F6 — mark rows whose final text *contains* any broadcast error
+    pattern (save_results → detect_browser_errors, W:1408-1455).
+    Pure column expressions (JVM/codegen); the pattern list is tiny and
+    inlined as literals — the Catalyst analogue of a broadcast."""
+    pattern_hit = None
+    for pattern in rules_mod.ERROR_PATTERNS:
+        cond = F.col(text_col).contains(pattern)
+        pattern_hit = cond if pattern_hit is None else (pattern_hit | cond)
+    return df.withColumn(
+        "status",
+        F.when((F.col("status") == "ok") & pattern_hit, F.lit("error_pattern")).otherwise(
+            F.col("status")
+        ),
+    )
+
+
+def extract_turns(df: DataFrame) -> DataFrame:
+    """transcripts → extraction results; stable (conv_id, turn_idx) keys
+    carried through (J1 made unnecessary — SURVEY.md §2.3)."""
+    result = df.withColumn("_ex", extract_udf(F.col("text"), F.col("tool")))
+    result = result.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.col("_ex.extracted_text").alias("extracted_text"),
+        F.col("_ex.spans").alias("spans"),
+        F.col("_ex.strategy").alias("strategy"),
+        F.col("_ex.status").alias("status"),
+        F.col("_ex.url").alias("url"),
+        F.col("_ex.domain").alias("domain"),
+    )
+    return with_error_pattern_status(result)
+
+
+def renderable(df: DataFrame) -> DataFrame:
+    """F5/F6 — rows that appear in rendered output: failure-template and
+    error-pattern rows excluded, timeout rows KEPT (W:1628-1630, Q5)."""
+    return df.filter(~F.col("status").isin("failure_template", "error_pattern"))

@@ -1,0 +1,69 @@
+"""Partitioning & skew machinery (SURVEY.md §2.9, north rule).
+
+The reference's scaling story is 10 cloned workspace dirs with a
+process barrier and a 600s straggler timeout (run_all_starts.py:8-19,
+W:1388).  The Spark-native replacement:
+
+- ``salted_repartition``: repartition by xxhash64(conv_id), with hot
+  conv_ids additionally salted by pmod(turn_idx, S) so one huge
+  conversation (or hot domain) spreads over S partitions instead of
+  stalling one task.  Extraction is per-turn, so salting is always
+  safe (no cross-turn state).
+- ``detect_hot_keys``: cheap pre-aggregation of bytes per conv_id; a
+  key is hot when its byte share exceeds ``threshold`` of the mean
+  partition payload.  At 100 TB this runs on a sample
+  (``sample_fraction``) — byte skew is stable under sampling.
+- AQE skew-join splitting stays on (session.py) as the runtime
+  backstop for what the static salt misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str = "conv_id",
+    payload: str = "text",
+    threshold_bytes: int | None = None,
+    skew_factor: float = 8.0,
+    sample_fraction: float | None = None,
+) -> list[str]:
+    """conv_ids whose total payload bytes exceed skew_factor × mean."""
+    scan = df.select(key, F.length(F.col(payload)).alias("_bytes"))
+    if sample_fraction is not None:
+        scan = scan.sample(fraction=sample_fraction, seed=42)
+    per_key = scan.groupBy(key).agg(F.sum("_bytes").alias("_key_bytes"))
+    if threshold_bytes is None:
+        mean = per_key.agg(F.avg("_key_bytes")).first()[0] or 0.0
+        threshold_bytes = int(mean * skew_factor)
+    hot = per_key.filter(F.col("_key_bytes") > threshold_bytes).select(key)
+    return [r[0] for r in hot.collect()]
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    hot_keys: list[str] | None = None,
+    salt_buckets: int = 8,
+    key: str = "conv_id",
+    salt_source: str = "turn_idx",
+) -> DataFrame:
+    """Repartition on xxhash64(key), salting hot keys across
+    ``salt_buckets`` partitions.  Non-hot keys stay co-located (one
+    shuffle, reusable partitioning)."""
+    if hot_keys:
+        salt = F.when(
+            F.col(key).isin(hot_keys),
+            F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    return df.repartition(num_partitions, F.xxhash64(F.col(key)), salt)
+
+
+def bucket_id(key_col, num_buckets: int):
+    """Deterministic bucket id for lineage/checkpointing: stable across
+    runs, partition-count independent."""
+    return F.pmod(F.xxhash64(key_col), F.lit(num_buckets)).cast("int")

@@ -1,0 +1,116 @@
+"""Checkpointed, resumable extraction runs with per-partition lineage.
+
+Reference analogue: the completed_folder membership checkpoint
+(run_all_starts.py:21-42) — resumability by directory listing.  Here:
+
+- the input is bucketed by ``bucket_id = pmod(xxhash64(conv_id), B)``
+  (stable across runs and partition counts);
+- each run processes only buckets absent from the lineage table
+  (anti-join semantics, J2);
+- output is written with dynamic partition overwrite on ``bucket``, so
+  re-processing a bucket that crashed mid-write is idempotent
+  (overwrite replaces any partial files);
+- a lineage row (bucket, rows, bytes_in, bytes_out, status counts,
+  rule_version) is appended only AFTER the bucket's data commit — the
+  two-phase order that makes kill/rerun safe: a bucket with data but
+  no lineage row is simply redone.
+
+Storage is parquet directories (this sandbox has no Iceberg jars); the
+layout maps 1:1 onto an Iceberg table with ``bucket(conv_id)``
+partitioning where the lineage append and data append would share one
+transaction.  The commit protocol below is the strictly-weaker
+filesystem version of that transaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webtext_extraction_spark import rules
+from webtext_extraction_spark.operators.extraction import extract_turns
+from webtext_extraction_spark.operators.partitioning import bucket_id
+
+LINEAGE_DIR = "_lineage"
+DATA_DIR = "data"
+
+
+def completed_buckets(spark: SparkSession, output_path: str) -> list[int]:
+    lineage_path = os.path.join(output_path, LINEAGE_DIR)
+    if not os.path.exists(lineage_path):
+        return []
+    lineage = spark.read.parquet(lineage_path)
+    return [r[0] for r in lineage.select("bucket").distinct().collect()]
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_path: str,
+    num_buckets: int = 32,
+    buckets_per_commit: int | None = None,
+) -> dict:
+    """Resumable bucketed extraction run.
+
+    ``buckets_per_commit`` limits how many buckets one invocation
+    processes (used by the kill/rerun test); None = all remaining.
+    Returns summary counters.
+    """
+    data_path = os.path.join(output_path, DATA_DIR)
+    lineage_path = os.path.join(output_path, LINEAGE_DIR)
+
+    done = completed_buckets(spark, output_path)
+    src = transcripts.withColumn("bucket", bucket_id(F.col("conv_id"), num_buckets))
+    if done:
+        # tiny list → literal isin beats a shuffle anti-join; at larger
+        # bucket counts this becomes a broadcast left_anti join
+        src = src.filter(~F.col("bucket").isin(done))
+
+    remaining = sorted(
+        r[0] for r in src.select("bucket").distinct().collect()
+    )
+    if buckets_per_commit is not None:
+        remaining = remaining[:buckets_per_commit]
+    if not remaining:
+        return {"buckets_done": 0, "rows": 0}
+
+    batch = src.filter(F.col("bucket").isin(remaining))
+    extracted = extract_turns(batch.drop("bucket")).withColumn(
+        "bucket", bucket_id(F.col("conv_id"), num_buckets)
+    )
+
+    # phase 1 — data commit (dynamic partition overwrite = idempotent redo)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        extracted.repartition(len(remaining), "bucket")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(data_path)
+    )
+
+    # phase 2 — lineage commit (append AFTER data is down)
+    out = spark.read.parquet(data_path).filter(F.col("bucket").isin(remaining))
+    lineage = (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("extracted_text")).alias("bytes_out"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_ok"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("rows_not_ok"),
+        )
+        .withColumn("rule_version", F.lit(rules.RULE_VERSION))
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    rows = out.count()
+    return {"buckets_done": len(remaining), "rows": rows}
+
+
+def read_output(spark: SparkSession, output_path: str) -> DataFrame:
+    """Final ordered view (stable (conv_id, turn_idx) — O1)."""
+    return (
+        spark.read.parquet(os.path.join(output_path, DATA_DIR))
+        .orderBy("conv_id", "turn_idx")
+    )

@@ -1,0 +1,87 @@
+"""End-to-end extraction plans + the rendered-output formatter.
+
+``extraction_pipeline`` is the flagship logical plan:
+scan → salted repartition → extract (one pandas UDF) → status layer.
+Everything before and after the UDF is Catalyst-visible; filters on
+conv_id/tool push into the parquet/Iceberg scan.
+
+``render_extracted`` reproduces the reference's text sink format for
+golden comparison (save_results W:1712-1726 + integrated.py:45-58):
+a driver-side formatter over an already-small, already-ordered
+DataFrame — used only by tests, never in the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from webtext_extraction_spark.operators.extraction import extract_turns, renderable
+from webtext_extraction_spark.operators.partitioning import (
+    detect_hot_keys,
+    salted_repartition,
+)
+
+
+def extraction_pipeline(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    salt_hot_keys: bool = True,
+) -> DataFrame:
+    """The flagship plan.  Ordering is NOT forced here (keys travel with
+    every row); callers that need the stable output order add
+    ``.orderBy('conv_id', 'turn_idx')`` at the sink (O1)."""
+    if num_partitions is None:
+        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+    hot = (
+        detect_hot_keys(transcripts, sample_fraction=0.1)
+        if salt_hot_keys
+        else None
+    )
+    balanced = salted_repartition(transcripts, num_partitions, hot_keys=hot)
+    return extract_turns(balanced)
+
+
+def extraction_summary(extracted: DataFrame) -> DataFrame:
+    """A6 — per-status metrics rollup (the reference's processed/excluded
+    counters, W:1639-1640, R:137-148)."""
+    return (
+        extracted.groupBy("status", "strategy")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("extracted_text")).alias("bytes_out"),
+        )
+        .orderBy("status", "strategy")
+    )
+
+
+def render_extracted(extracted: DataFrame, limit: int = 10000) -> str:
+    """S9/S10 — the reference's extracted-text file shape: per-record
+    ``url\\ntext`` blocks with blank-line separators, failure rows
+    excluded, timeout rows kept and surfaced in a warning header
+    (integrated.py:19-51).  Driver-side by design (golden tests only).
+    """
+    rows = (
+        renderable(extracted)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "url", "extracted_text", "status")
+        .limit(limit)
+        .collect()
+    )
+    timeout_urls = [
+        r["url"] or f"{r['conv_id']}#{r['turn_idx']}"
+        for r in rows
+        if r["status"] == "timeout"
+    ]
+    blocks = []
+    for r in rows:
+        key = r["url"] or f"{r['conv_id']}#{r['turn_idx']}"
+        blocks.append(f"{key}\n{r['extracted_text']}")
+    body = "\n\n\n".join(blocks)  # record + 2 blank lines (W:1720-1726)
+    if timeout_urls:
+        header = (
+            "テキスト抽出タイムアウトページあり（該当URL表示）\n"
+            + "\n".join(timeout_urls)
+            + "\n\n\n"
+        )
+        return header + body
+    return body
