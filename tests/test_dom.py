@@ -1,0 +1,100 @@
+"""DOM + selector engine unit tests (tokenizer modes, get_text parity,
+decompose, selector grammar — FIXTURES.md H18 behaviors)."""
+
+from webtext_extraction_spark.html.dom import parse
+from webtext_extraction_spark.kernel.tracked import reconstruct
+
+
+def test_basic_tree_and_get_text():
+    dom = parse("<html><body><p>one</p><p> two </p><p></p></body></html>")
+    assert dom.body.get_text(separator="\n", strip=True) == "one\ntwo"
+    assert dom.body.get_text(separator=" ", strip=True) == "one two"
+    assert dom.body.get_text() == "one two "
+
+
+def test_entities_merge_into_one_string():
+    # bs4 convert_charrefs behavior: 'a &amp; b' is ONE string
+    dom = parse("<p> a &amp; b </p>")
+    p = dom.select("p")[0]
+    assert p.get_text(strip=True) == "a & b"
+    tt = p.get_text_tracked(separator="\n", strip=True)
+    assert tt.text == "a & b"
+    assert reconstruct("<p> a &amp; b </p>", tt.text, tt.spans()) == tt.text
+
+
+def test_charref_hex_and_dec():
+    dom = parse("<p>x&#65;&#x42;y</p>")
+    assert dom.select("p")[0].get_text() == "xABy"
+
+
+def test_script_style_are_text_bearing():
+    # raw-text (CDATA) contents ARE strings — reason the reference
+    # decomposes script/style before get_text (W:1279)
+    dom = parse('<div><script>var x = "<p>hi</p>";</script>real</div>')
+    div = dom.select("div")[0]
+    assert '"<p>hi</p>"' in div.get_text()
+    for tag in div.select("script"):
+        tag.decompose()
+    assert div.get_text() == "real"
+
+
+def test_comments_and_doctype_excluded():
+    dom = parse("<!DOCTYPE html><div>a<!-- hidden -->b</div>")
+    assert dom.select("div")[0].get_text() == "ab"
+
+
+def test_void_elements_do_not_nest():
+    dom = parse("<div>a<br>b<img src='x'>c</div>")
+    assert dom.select("div")[0].get_text() == "abc"
+
+
+def test_unclosed_and_stray_tags():
+    dom = parse("<div><p>a<span>b</div>tail</p>")
+    assert dom.select("div")[0].get_text() == "ab"
+
+
+def test_selector_grammar():
+    html = """
+    <div class="article main">
+      <h1 id="t">T</h1>
+      <section class="article"><p itemprop="articleBody">body</p></section>
+      <span style="color:red; text-decoration: underline">u</span>
+      <a href="https://x.example">l</a>
+      <i class="k"></i><div class="after">adj</div>
+    </div>"""
+    dom = parse(html)
+    assert len(dom.select("div.article")) == 1
+    assert dom.select("#t")[0].name == "h1"
+    assert dom.select("section.article p")[0].get_text() == "body"
+    assert dom.select('[itemprop="articleBody"]')[0].get_text() == "body"
+    assert dom.select("span[style*='text-decoration: underline']")[0].get_text() == "u"
+    assert dom.select("a[href*='http']")[0].get_text() == "l"
+    assert dom.select("h1, p")[0].name == "h1"  # document order
+    assert [e.name for e in dom.select("h1, p")] == ["h1", "p"]
+    assert dom.select("i + div")[0].get_text() == "adj"
+    assert dom.select(".missing") == []
+
+
+def test_multi_class_compound():
+    dom = parse('<h1 class="FAo dyH Cc2">x</h1><h1 class="FAo">y</h1>')
+    assert [e.get_text() for e in dom.select("h1.FAo.dyH.Cc2")] == ["x"]
+
+
+def test_decompose_affects_later_queries():
+    dom = parse('<main><nav>n</nav><p>keep</p></main>')
+    main = dom.select("main")[0]
+    for el in main.select("nav"):
+        el.decompose()
+    assert main.get_text(separator="\n", strip=True) == "keep"
+    assert main.select("nav") == []
+
+
+def test_get_text_tracked_offsets_literal():
+    payload = "<div>hello <b>world</b></div>"
+    dom = parse(payload)
+    tt = dom.select("div")[0].get_text_tracked(separator="\n", strip=True)
+    assert tt.text == "hello\nworld"
+    spans = tt.spans()
+    assert spans[0]["kind"] == "src"
+    assert payload[spans[0]["start"] : spans[0]["end"]] == "hello"
+    assert payload[spans[2]["start"] : spans[2]["end"]] == "world"

@@ -1,0 +1,134 @@
+"""End-to-end DataFrame tests (SURVEY.md §5.2 items 3-4).
+
+- UDF path equals driver-side kernel on every turn (plumbing parity)
+- output (conv_id, turn_idx, extracted_text) stable under repartition
+  and salting (T01)
+- F6 error_pattern layering, F5 render exclusions, Q5 timeout kept
+- resume/idempotency: two-phase run equals single-shot run (T05)
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from webtext_extraction_spark.fixtures_pages import payload_for
+from webtext_extraction_spark.kernel.extract import extract_payload
+from webtext_extraction_spark.plans.lineage import (
+    completed_buckets,
+    read_output,
+    run_extraction,
+)
+from webtext_extraction_spark.plans.pipeline import extraction_pipeline, render_extracted
+from webtext_extraction_spark.sources.transcripts import synth_transcripts
+
+N_CONV = 40
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synth_transcripts(spark, num_conversations=N_CONV).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, transcripts):
+    df = extraction_pipeline(transcripts, num_partitions=7).cache()
+    df.count()
+    return df
+
+
+def test_udf_matches_driver_side_kernel(extracted):
+    rows = extracted.select(
+        "conv_id", "turn_idx", "tool", "extracted_text", "strategy"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        payload, tool = payload_for(r["conv_id"], r["turn_idx"])
+        expected = extract_payload(payload, tool)
+        assert r["extracted_text"] == expected.text, (r["conv_id"], r["turn_idx"])
+        assert r["strategy"] == expected.strategy
+
+
+def test_stable_order_under_partitioning(spark, transcripts):
+    a = (
+        extraction_pipeline(transcripts, num_partitions=3, salt_hot_keys=False)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .collect()
+    )
+    b = (
+        extraction_pipeline(
+            transcripts.repartition(13), num_partitions=11, salt_hot_keys=True
+        )
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .collect()
+    )
+    assert a == b
+    keys = [(r["conv_id"], r["turn_idx"]) for r in a]
+    assert keys == sorted(keys)
+
+
+def test_all_statuses_present_and_error_pattern_layered(extracted):
+    statuses = {r[0] for r in extracted.select("status").distinct().collect()}
+    assert "ok" in statuses
+    assert "error_pattern" in statuses  # h19 pages re-classified Spark-side
+    err = extracted.filter(F.col("status") == "error_pattern").first()
+    assert "ERR_TIMED_OUT" in err["extracted_text"] or "このサイト" in err["extracted_text"]
+
+
+def test_span_invariant_through_arrow(extracted, spark):
+    # spans survive the Arrow struct round-trip and still reconstruct
+    from webtext_extraction_spark.kernel.tracked import reconstruct
+
+    rows = extracted.select("conv_id", "turn_idx", "extracted_text", "spans").limit(
+        200
+    ).collect()
+    for r in rows:
+        payload, _tool = payload_for(r["conv_id"], r["turn_idx"])
+        spans = [{"start": s["start"], "end": s["end"], "kind": s["kind"]} for s in r["spans"]]
+        assert reconstruct(payload, r["extracted_text"], spans) == r["extracted_text"]
+
+
+def test_render_excludes_failures_keeps_timeouts(extracted):
+    text = render_extracted(extracted)
+    assert "すべての抽出方法でテキストを抽出できませんでした" not in text
+    assert "PDFファイルの処理中にエラーが発生しました" not in text
+    assert "ERR_TIMED_OUT" not in text  # error_pattern rows excluded
+    has_timeout = extracted.filter(F.col("status") == "timeout").count() > 0
+    if has_timeout:
+        assert text.startswith("テキスト抽出タイムアウトページあり（該当URL表示）\n")
+        assert "（テキスト抽出タイムアウト）" in text  # Q5: kept in body
+
+
+def test_resume_idempotent(spark, transcripts, tmp_path):
+    single = str(tmp_path / "single")
+    phased = str(tmp_path / "phased")
+
+    run_extraction(spark, transcripts, single, num_buckets=8)
+    full = read_output(spark, single).select(
+        "conv_id", "turn_idx", "extracted_text"
+    ).collect()
+
+    # phase 1: only 3 buckets commit (simulated kill)
+    r1 = run_extraction(spark, transcripts, phased, num_buckets=8, buckets_per_commit=3)
+    assert r1["buckets_done"] == 3
+    assert len(completed_buckets(spark, phased)) == 3
+    # phase 2: resume processes only the remaining buckets
+    r2 = run_extraction(spark, transcripts, phased, num_buckets=8)
+    assert r2["buckets_done"] == 8 - 3
+    # phase 3: nothing left — fully idempotent no-op
+    r3 = run_extraction(spark, transcripts, phased, num_buckets=8)
+    assert r3 == {"buckets_done": 0, "rows": 0}
+
+    resumed = read_output(spark, phased).select(
+        "conv_id", "turn_idx", "extracted_text"
+    ).collect()
+    assert sorted(full) == sorted(resumed)
+    # no duplicate keys
+    keys = [(r["conv_id"], r["turn_idx"]) for r in resumed]
+    assert len(keys) == len(set(keys))
+    shutil.rmtree(single, ignore_errors=True)
+    shutil.rmtree(phased, ignore_errors=True)

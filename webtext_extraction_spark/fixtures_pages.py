@@ -154,8 +154,16 @@ def h12_near_dup(seed: int) -> str:
     base = " ".join(sentences(seed, 3, 14))
     variant = base[:-20] + " slightly changed end."
     other = " ".join(sentences(seed + 31, 3, 14))
+    # blank lines live inside ONE text node: '\n\n' paragraph boundaries
+    # survive get_text and are what A2 splits on (W:311)
     return f"""<!-- domain: dup.example --><html><head><title>Dup</title></head>
-<body><main><div><p>{base}</p></div><div><p>{base}</p></div><div><p>{variant}</p></div><div><p>{other}</p></div></main></body></html>"""
+<body><main><p>{base}
+
+{base}
+
+{variant}
+
+{other}</p></main></body></html>"""
 
 
 def h13_pinterest_nav(seed: int) -> str:
@@ -182,7 +190,7 @@ def h14_chiebukuro(seed: int) -> str:
 <div class="ClapLv1__content">{q}</div>
 <div class="AnswerItem">{a1}</div>
 <div class="AnswerItem">{a2}</div>
-<div class="RelatedContentBox"><h3>あわせて知りたい</h3>junk related</div>
+<div class="RelatedContentBox">related question links junk</div>
 <div class="AdBlock">ad text</div>
 <div class="sidebarBox">side text</div></div>
 <div id="rightColumn">unrelated rail</div></body></html>"""
