@@ -1,0 +1,127 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline metric: extraction throughput (turns/sec) over a synthetic
+transcripts table derived deterministically from the fixture archetype
+pool, sized by scale factor (sf0.1 → ~46k turns of multi-KB payloads).
+Also times the non-extraction operator suite (dedup / similarity /
+text-stats) on the driver-provided parquet tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_CONVS         override conversation count
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "turns": N,
+         "turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_transcripts(spark, sf: float, override: int | None = None):
+    from webtext_extraction_spark.sources.transcripts import synth_transcripts
+
+    # sf0.1 → 7000 conversations ≈ 45k turns; linear in sf
+    n_conv = override if override else max(200, int(70000 * sf))
+    return synth_transcripts(spark, num_conversations=n_conv)
+
+
+def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None) -> dict:
+    from webtext_extraction_spark.operators import dedup, similarity, textstats
+    from webtext_extraction_spark.plans.pipeline import extraction_pipeline
+    from webtext_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    timings: dict[str, float] = {}
+
+    transcripts = build_transcripts(spark, sf, convs)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()  # materialize input outside the timed region
+
+    t0 = time.time()
+    out = extraction_pipeline(transcripts, salt_hot_keys=True)
+    n_out = out.count()
+    timings["extract_pipeline"] = time.time() - t0
+    assert n_out == n_turns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
+    ).count()
+    timings["dedup_minhash_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect()
+    timings["dedup_simhash"] = time.time() - t0
+
+    t0 = time.time()
+    textstats.text_profile(docs, "doc_id", "text").agg(
+        F.sum("fingerprint"), F.sum("ws_tokens")
+    ).collect()
+    timings["text_profile"] = time.time() - t0
+
+    t0 = time.time()
+    similarity.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
+    timings["sim_cosine_topk"] = time.time() - t0
+
+    t0 = time.time()
+    similarity.lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
+    timings["sim_lsh_ann_topk"] = time.time() - t0
+
+    transcripts.unpersist()
+    spark.stop()
+    return {
+        "turns": n_turns,
+        "timings": timings,
+        "turns_per_sec": n_turns / timings["extract_pipeline"],
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    convs = int(os.environ["BENCH_CONVS"]) if "BENCH_CONVS" in os.environ else None
+
+    result = run_once(cores, sf_dir, sf, convs)
+    queries = {k: round(v, 3) for k, v in result["timings"].items()}
+    total = round(sum(result["timings"].values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+ops suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cores": cores,
+                "turns": result["turns"],
+                "turns_per_sec": round(result["turns_per_sec"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Portable column-function helpers (JVM-side, codegen-friendly).
+
+``portable_hash64`` is the engine's cross-system string hash: the
+first 15 hex digits of md5 as a bigint.  Unlike xxhash64/murmur it is
+bit-identical in Spark, DuckDB, and Python, which is what lets the
+dedup/fingerprint operators be oracle-checked exactly.  (For pure
+partitioning, xxhash64 stays the choice — cheaper, and no cross-system
+contract needed: see operators/partitioning.py.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def portable_hash64(col) -> Column:
+    """First 60 bits of md5(col) as bigint — identical in DuckDB via
+    ``('0x' || substr(md5(x),1,15))::BIGINT`` and in Python via
+    ``int(hashlib.md5(x).hexdigest()[:15], 16)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_py(value: str) -> int:
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def words(col) -> Column:
+    """Whitespace tokenization with empties dropped — matches
+    DuckDB ``list_filter(string_split_regex(x, '\\s+'), w -> w != '')``."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def word_set(col) -> Column:
+    return F.array_distinct(words(col))
+
+
+def strip_urls(col) -> Column:
+    """C1 — the first two URL-strip regexes as JVM expressions (the
+    third, unicode-quoted pattern lives kernel-side; these two are the
+    Catalyst-friendly fast path used by SQL-level cleanup)."""
+    out = F.regexp_replace(col, r"https?://\S+", "")
+    return F.regexp_replace(out, r"www\.\S+", "")
+
+
+def collapse_blank3(col) -> Column:
+    """C3 — W:190 variant (3+ blank-ish lines → one blank line)."""
+    return F.regexp_replace(col, r"\n\s*\n\s*\n+", "\n\n")
+
+
+def sanitize_filename(col) -> Column:
+    """C8 — create_file.py:27-31 forbidden-char replacement."""
+    return F.translate(col, '<>:"/\\|?*', "_________")
+
+
+def domain_of(url_col) -> Column:
+    """C6 — corrected domain regex (W:1206 form; SURVEY Q3)."""
+    return F.regexp_extract(url_col, r"https?://(?:www\.)?([^/]+)", 1)

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a first-class DataFrame operator with a DuckDB
+oracle (see __spark_entry__):
+
+- exact:     md5-groupBy duplicate clusters
+- minhash:   k-permutation MinHash + banded LSH candidate join,
+             verified with exact word-set Jaccard
+- simhash:   32-bit sign-of-weighted-sum fingerprint + hamming buckets
+- jaccard:   exact n-gram / word-set Jaccard for bounded pair sets
+
+Scale notes (the 100 TB story):
+- tokenization / signatures are per-row higher-order-function
+  expressions (whole-stage codegen, no shuffle, no Python);
+- the only shuffles are the LSH band groupBy (keys are tiny ints) and
+  the candidate self-join, whose input is already reduced to
+  (band, bucket) collisions — this is the standard way MinHash-LSH
+  avoids the O(n²) cross join;
+- all hashes are md5-based ``portable_hash64`` so results replay
+  bit-identically in the DuckDB oracle and the pytest python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from webtext_extraction_spark.functions.text import portable_hash64, word_set
+
+# MinHash arithmetic domain — sized so a*h + b never exceeds 2^52:
+# token hashes are reduced mod TOKEN_SPACE (~2^20) and permutation
+# multipliers stay < 2^31, keeping the math exact (no overflow) in
+# Spark, DuckDB (which *errors* on BIGINT overflow), and Python alike.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+TOKEN_SPACE = 1048573       # largest prime < 2^20
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic permutation parameters a_i, b_i from a fixed LCG."""
+    params = []
+    state = 88172645463325252
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_PRIME - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dup clusters: hash → groupBy → keep groups of ≥2."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Append ``minhash`` array<bigint>.  Signature_i = min over word
+    tokens of (a_i·h(w) + b_i) mod M61 — all inside one row-level
+    expression (no shuffle, no Python)."""
+    tokens = word_set(F.col(text_col))
+    hashes = F.transform(tokens, lambda w: portable_hash64(w) % F.lit(TOKEN_SPACE))
+
+    def perm(a: int, b: int):
+        # factory keeps the Spark lambda unary (default-arg lambdas read
+        # as 2/3-ary to the higher-order-function binder)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(a, b)))
+            for a, b in _perm_params(num_hashes)
+        ]
+    )
+    return df.withColumn("minhash", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, then exact word-set Jaccard
+    verification.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    # word sets computed ONCE per row, before the candidate join —
+    # recomputing them per pair multiplies the dominant cost by the
+    # collision fan-out
+    sigs = with_minhash_signature(df, text_col, num_hashes).select(
+        F.col(id_col).alias("_id"),
+        word_set(F.col(text_col)).alias("_ws"),
+        "minhash",
+    )
+    # bucket key = the band slice itself, stringified: equality is then
+    # portable (no engine-specific hash in the collision definition)
+    banded = sigs.select(
+        "_id",
+        "_ws",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_ws", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._ws").alias("ws_a"),
+            F.col("r._ws").alias("ws_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa, wb = F.col("ws_a"), F.col("ws_b")
+    jac = F.size(F.array_intersect(wa, wb)) / F.size(F.array_union(wa, wb))
+    return (
+        candidates.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
+    """Append ``simhash`` bigint: bit b set iff the sum over tokens of
+    sign((h(w) >> b) & 1) is positive.  Pure expressions."""
+    hashes = F.transform(word_set(F.col(text_col)), lambda w: portable_hash64(w))
+    df = df.withColumn("_h", hashes)
+
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_terms = [
+        F.when(
+            F.aggregate("_h", F.lit(0).cast("long"), bit_vote(b)) > 0,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return df.withColumn("simhash", total).drop("_h")
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, bucketed on the
+    upper half of the fingerprint so the self-join is band-local (at
+    most one bucket per doc → linear candidate generation for docs
+    sharing a 16-bit prefix)."""
+    sh = with_simhash(df, text_col).select(
+        F.col(id_col).alias("_id"), "simhash", F.shiftright("simhash", 16).alias("_bucket")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    window: int = 10,
+) -> DataFrame:
+    """Exact character-shingle Jaccard for id pairs within ``window`` of
+    each other (bounded comparison set — the verification half of a
+    dedup pass; candidate generation at scale is minhash_lsh_pairs)."""
+    # dynamic-start substring needs the expr form of transform
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(length({text_col}) - {n}, 0)),"
+        f" i -> substr({text_col}, i + 1, {n})))"
+    )
+    base = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+    a, b = base.alias("a"), base.alias("b")
+    jac = F.size(F.array_intersect("a._sh", "b._sh")) / F.size(F.array_union("a._sh", "b._sh"))
+    return (
+        a.join(
+            b,
+            (F.col("b._id") > F.col("a._id")) & (F.col("b._id") <= F.col("a._id") + window),
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "jaccard")
+    )
+
+
+def ordered_distinct(df: DataFrame, key: str, order: str) -> DataFrame:
+    """A1 — order-preserving distinct: first occurrence wins
+    (dict.fromkeys semantics, google_url_serch.py:634)."""
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,83 @@
+"""Relational operators from the SURVEY.md §2 inventory, as reusable
+DataFrame functions (each with a DuckDB oracle in __spark_entry__).
+
+These are deliberately thin: the point is the *plan shape* — broadcast
+the small side (J3), anti-join on keys (J2), lag windows (J4),
+row_number top-k (A4/O3), union with source ordering (U2) — not
+reimplementing Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from webtext_extraction_spark import rules
+
+
+def url_exclusion_filter(df: DataFrame, url_col: str) -> DataFrame:
+    """F1/F2 — drop rows whose URL matches any exclusion regex; one
+    compiled alternation so Catalyst sees a single rlike predicate."""
+    combined = "|".join(f"(?:{p})" for p in rules.URL_EXCLUDE_PATTERNS)
+    return df.filter(~F.col(url_col).rlike(combined))
+
+
+def nav_text_filter(df: DataFrame, text_col: str) -> DataFrame:
+    """F3 — drop anchor-text rows that are nav words or ≤2 chars."""
+    combined = "|".join(rules.NAV_TEXT_WORDS)
+    return df.filter(
+        (F.length(F.col(text_col)) > 2) & ~F.col(text_col).rlike(combined)
+    )
+
+
+def success_threshold(df: DataFrame, text_col: str, threshold: int = 100) -> DataFrame:
+    """F4 — ≥100-char success predicate as a labeled projection."""
+    return df.withColumn(
+        "extraction_ok", (F.length(F.trim(F.col(text_col))) >= threshold)
+    )
+
+
+def broadcast_rule_lookup(df: DataFrame, key_col: str, rules_df: DataFrame, rule_key: str) -> DataFrame:
+    """J3 — broadcast map-side join against a small rule table."""
+    return df.join(F.broadcast(rules_df), F.col(key_col) == F.col(rule_key), "left")
+
+
+def anti_join_completed(df: DataFrame, done: DataFrame, key: str) -> DataFrame:
+    """J2 — remaining = all − completed."""
+    return df.join(done, on=key, how="left_anti")
+
+
+def lag_over(df: DataFrame, part: str, order: str, col: str) -> DataFrame:
+    """J4 — previous-row back-reference as a lag window (replaces the
+    reference's O(n²) positional self-scan, integrated.py:19-42)."""
+    w = Window.partitionBy(part).orderBy(order)
+    return df.withColumn(f"prev_{col}", F.lag(col).over(w))
+
+
+def topk_per_group(df: DataFrame, part: str, order_col: str, k: int, tiebreak: str) -> DataFrame:
+    """A4/O3 — row_number ≤ k per group with deterministic ties."""
+    w = Window.partitionBy(part).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def union_sources(a: DataFrame, b: DataFrame, a_name: str, b_name: str) -> DataFrame:
+    """U2 — ordered union of two sources (google ⧺ yahoo analogue)."""
+    return a.withColumn("source_name", F.lit(a_name)).unionByName(
+        b.withColumn("source_name", F.lit(b_name))
+    )
+
+
+def nav_char_ratio(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
+    """A5 — sum of matched phrase lengths / total length, pure SQL."""
+    phrase_arr = F.array(*[F.lit(p) for p in phrases])
+    matched = F.aggregate(
+        F.filter(phrase_arr, lambda p: F.col(text_col).contains(p)),
+        F.lit(0),
+        lambda acc, p: acc + F.length(p),
+    )
+    return df.withColumn(
+        "nav_ratio",
+        F.round(matched / F.greatest(F.length(F.trim(F.col(text_col))), F.lit(1)), 6),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k — the correctness baseline.
+  Query set is broadcast (tiny) so the "join" is a broadcast
+  nested-loop + per-row vector math in codegen; the only shuffle is
+  the final per-query top-k window.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets;
+  queries probe only their own bucket, so the candidate set per query
+  is n/2^planes instead of n.  Plane weights are deterministic
+  constants inlined into the plan (and into the DuckDB oracle), not
+  runtime randomness.
+- ``embedding_near_duplicates``: cosine-threshold near-dup pairs
+  within LSH buckets.
+
+All math is double-precision Spark expressions (zip_with + aggregate);
+cosines are rounded to 6 dp so oracle value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _plane_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) — same
+    constants are rendered into the DuckDB oracle SQL."""
+    planes = []
+    state = 1234567891011
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state >> 20) % 2000001) / 1000000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k for the given query ids against the
+    full table.  (query_id, neighbor_id, cos) with deterministic
+    tie-breaking (cos desc, neighbor_id asc)."""
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    base = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", num_planes: int = 4, dim: int = 64
+) -> DataFrame:
+    """Append ``bucket`` int: bit i = (dot(vec, plane_i) > 0)."""
+    planes = _plane_weights(num_planes, dim)
+    bucket = F.lit(0)
+    for i, weights in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed ANN: probe only the query's own LSH bucket.  Recall<1
+    by design; the bucket restriction is the 100 TB lever (candidates
+    shrink 2^planes-fold and the join is an equi-join on bucket)."""
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    bucketed = with_lsh_bucket(embeddings, vec_col, num_planes, dim)
+    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    base = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("b_vec"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(base, F.col("q_bucket") == F.col("bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-dup pairs within LSH buckets (id_a < id_b)."""
+    bucketed = with_lsh_bucket(embeddings, vec_col, num_planes, dim)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket").alias("ba")
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("bb")
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
