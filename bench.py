@@ -44,7 +44,8 @@ def build_transcripts(spark, sf: float, override: int | None = None):
     return synth_transcripts(spark, num_conversations=n_conv)
 
 
-def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None) -> dict:
+def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
+             ops: bool = True) -> dict:
     from webtext_extraction_spark.operators import dedup, similarity, textstats
     from webtext_extraction_spark.plans.pipeline import extraction_pipeline
     from webtext_extraction_spark.session import get_spark
@@ -56,20 +57,46 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None) -> di
     transcripts = transcripts.persist()
     n_turns = transcripts.count()  # materialize input outside the timed region
 
+    # warm python workers (module imports) before the timed region — a
+    # real cluster amortizes worker startup over hours-long jobs; a
+    # seconds-long benchmark must not measure pandas import time
+    warmup = extraction_pipeline(transcripts.limit(512), salt_hot_keys=False)
+    warmup.agg(F.sum(F.length("extracted_text"))).collect()
+
     t0 = time.time()
     out = extraction_pipeline(transcripts, salt_hot_keys=True)
-    n_out = out.count()
+    # force the UDF for every row: a bare count() lets Catalyst prune
+    # the (deterministic) pandas UDF away entirely
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("extracted_text")).alias("bytes_out"),
+        F.countDistinct("status").alias("n_status"),
+    ).collect()[0]
     timings["extract_pipeline"] = time.time() - t0
+    n_out, bytes_out = agg["n"], agg["bytes_out"]
     assert n_out == n_turns
+
+    if not ops:
+        transcripts.unpersist()
+        spark.stop()
+        return {
+            "turns": n_turns,
+            "timings": timings,
+            "turns_per_sec": n_turns / timings["extract_pipeline"],
+        }
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # minhash candidate join is quadratic in bucket collisions and the
+    # synthetic word-soup corpus collides maximally — cap the input and
+    # say so in the metric name (no silent caps)
+    docs_capped = docs.filter(F.col("doc_id") < 1000)
     t0 = time.time()
     dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
+        docs_capped, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
     ).count()
-    timings["dedup_minhash_lsh"] = time.time() - t0
+    timings["dedup_minhash_lsh_first1k"] = time.time() - t0
 
     t0 = time.time()
     dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect()

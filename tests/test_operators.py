@@ -1,0 +1,174 @@
+"""Operator unit tests against independent pure-Python oracles
+(dedup / similarity / textstats / multimodal / relational)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from webtext_extraction_spark.functions.text import portable_hash64_py
+from webtext_extraction_spark.operators import dedup, similarity, textstats
+from webtext_extraction_spark.operators.dedup import (
+    MINHASH_PRIME,
+    TOKEN_SPACE,
+    _perm_params,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (3, "completely different text about spark partitions"),
+    (4, "spark partitions and shuffle boundaries explained"),
+    (5, "the quick brown fox jumps over the lazy cat today"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_minhash(text, num_hashes):
+    ws = sorted(set(w for w in text.split() if w))
+    hs = [portable_hash64_py(w) % TOKEN_SPACE for w in ws]
+    return [
+        min((h * a + b) % MINHASH_PRIME for h in hs)
+        for a, b in _perm_params(num_hashes)
+    ]
+
+
+def test_minhash_signature_matches_python(docs_df):
+    rows = dedup.with_minhash_signature(docs_df, "text", 8).select(
+        "doc_id", "minhash"
+    ).collect()
+    for r in rows:
+        expected = _py_minhash(DOCS[r["doc_id"]][1], 8)
+        assert list(r["minhash"]) == expected
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs_df, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near dup shares 8/10 words
+    assert (0, 3) not in pairs
+
+
+def test_simhash_matches_python(docs_df):
+    def py_simhash(text, bits=32):
+        ws = set(w for w in text.split() if w)
+        hs = [portable_hash64_py(w) for w in ws]
+        out = 0
+        for b in range(bits):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                out |= 1 << b
+        return out
+
+    rows = dedup.with_simhash(docs_df, "text").select("doc_id", "simhash").collect()
+    for r in rows:
+        assert r["simhash"] == py_simhash(DOCS[r["doc_id"]][1])
+
+
+def test_exact_duplicates(docs_df):
+    clusters = dedup.exact_duplicates(docs_df, "doc_id", "text").collect()
+    assert len(clusters) == 1
+    assert clusters[0]["n_dups"] == 2 and clusters[0]["keeper_id"] == 0
+
+
+def test_ordered_distinct_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [("u", 3, "c"), ("u", 1, "a"), ("u", 2, "b"), ("v", 9, "z")],
+        ["k", "pos", "val"],
+    )
+    out = {(r["k"], r["val"]) for r in dedup.ordered_distinct(df, "k", "pos").collect()}
+    assert out == {("u", "a"), ("v", "z")}
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = [[((i * 7 + j * 13) % 17) / 17.0 for j in range(8)] for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)], ["vec_id", "embedding"]
+    )
+    out = similarity.cosine_topk(df, query_ids=[0], k=3).collect()
+    a = np.array(rng)
+    q = a[0]
+    cos = a @ q / (np.linalg.norm(a, axis=1) * np.linalg.norm(q))
+    cos[0] = -2
+    expected = np.argsort([(-round(c, 6), i) for i, c in enumerate(cos)], axis=0)
+    top = sorted(range(20), key=lambda i: (-round(cos[i], 6), i))[:3]
+    assert [r["neighbor_id"] for r in out] == top
+    for r in out:
+        assert abs(r["cos"] - round(float(cos[r["neighbor_id"]]), 6)) < 1e-9
+
+
+def test_lsh_ann_is_subset_of_bruteforce_space(spark):
+    vecs = [
+        (i, [math.sin(i * 0.7 + j) for j in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    ann = similarity.lsh_ann_topk(df, query_ids=[0], k=5).collect()
+    assert 0 < len(ann) <= 5
+    bucketed = {r["vec_id"]: r["bucket"] for r in similarity.with_lsh_bucket(df).collect()}
+    for r in ann:  # every returned neighbor shares the query's bucket
+        assert bucketed[r["neighbor_id"]] == bucketed[0]
+
+
+def test_fingerprint_matches_python(docs_df):
+    def py_fp(text):
+        acc = 0
+        for w in text.split():
+            if w:
+                acc = (acc * 31 + portable_hash64_py(w) % textstats.FP_TOKEN_MOD) % textstats.FP_MOD
+        return acc
+
+    rows = textstats.text_profile(docs_df, "doc_id", "text").collect()
+    for r in rows:
+        assert r["fingerprint"] == py_fp(DOCS[r["doc_id"]][1])
+        assert r["ws_tokens"] == len(DOCS[r["doc_id"]][1].split())
+        assert r["lang_pred"] == "en"
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id_japanese(spark):
+    df = spark.createDataFrame(
+        [(0, "これは日本語の文章でありテストのための十分な長さを持つ")], ["doc_id", "text"]
+    )
+    row = textstats.text_profile(df, "doc_id", "text").first()
+    assert row["lang_pred"] == "ja"
+
+
+def test_multimodal_features_deterministic(spark):
+    from webtext_extraction_spark.operators.multimodal import (
+        _fake_feature,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    rows = extract_media_features(media).collect()
+    assert len(rows) == 12
+    payloads = {r["media_id"]: bytes(r2["payload"]) for r, r2 in zip(rows, media.collect())}
+    for r in rows:
+        assert len(r["feature"]) == 8
+        expected = _fake_feature(payloads[r["media_id"]])
+        assert [round(x, 5) for x in r["feature"]] == [round(x, 5) for x in expected]
+
+
+def test_multimodal_real_decode_raises(spark):
+    from webtext_extraction_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_media_features(media, decode_stub=False).collect()

@@ -1,0 +1,70 @@
+"""Physical-plan audits: the plans we claim are the plans Spark runs.
+
+Asserts over .explain output: filter/column pushdown into the parquet
+scan, broadcast joins where we broadcast, no cartesian products in the
+LSH pipelines, exactly one Arrow UDF stage in extraction.
+"""
+
+from pyspark.sql import functions as F
+
+from webtext_extraction_spark.operators import dedup, similarity
+from webtext_extraction_spark.operators.extraction import extract_turns
+from webtext_extraction_spark.sources.transcripts import synth_transcripts
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_pushdown_through_extraction(spark, tmp_path):
+    path = str(tmp_path / "t")
+    synth_transcripts(spark, num_conversations=10).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("conv_id") == "conv000003")
+    out = extract_turns(df).select("conv_id", "extracted_text")
+    plan = _plan(out)
+    # the conv_id predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "conv000003" in plan or "IsNotNull(conv_id)" in plan
+    # exactly one Arrow-batched python stage
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_column_pruning_drops_payload(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    synth_transcripts(spark, num_conversations=10).write.parquet(path)
+    df = spark.read.parquet(path).select("conv_id", "turn_idx")
+    plan = _plan(df)
+    # a 2-column projection must not read the payload column
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    plan = _plan(similarity.cosine_topk(emb, query_ids=[0], k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_has_no_cartesian_product(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens here") for i in range(20)], ["doc_id", "text"]
+    )
+    plan = _plan(dedup.minhash_lsh_pairs(docs, "doc_id", "text", 8, 4, 0.1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join on (band,bucket)
+
+
+def test_extraction_keeps_status_filter_jvm_side(spark):
+    t = synth_transcripts(spark, num_conversations=5)
+    out = extract_turns(t)
+    from webtext_extraction_spark.operators.extraction import renderable
+
+    plan = _plan(renderable(out))
+    # status filter is a plain Filter over the UDF output — one python
+    # stage only, filter evaluated JVM-side
+    assert plan.count("ArrowEvalPython") == 1

@@ -1,0 +1,67 @@
+"""Property-based tests (SURVEY.md §5.2 item 5): random HTML from a
+small grammar → the kernel never crashes, output is printable, spans
+reconstruct, extraction is deterministic."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from webtext_extraction_spark.kernel.extract import extract_payload
+from webtext_extraction_spark.kernel.tracked import reconstruct
+
+TAGS = ["div", "p", "main", "article", "span", "section", "nav", "header", "b"]
+CLASSES = ["content", "article", "sidebar", "ad", "x", "post-body", "menu"]
+
+text_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + " \n\t.,&<>'\"()日本語テキスト",
+    min_size=0,
+    max_size=80,
+)
+
+
+@st.composite
+def html_node(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return draw(text_chars)
+    tag = draw(st.sampled_from(TAGS))
+    cls = draw(st.sampled_from(CLASSES))
+    children = draw(st.lists(html_node(depth=depth + 1), max_size=4))
+    attrs = f' class="{cls}"' if draw(st.booleans()) else ""
+    return f"<{tag}{attrs}>" + "".join(children) + f"</{tag}>"
+
+
+@st.composite
+def html_page(draw):
+    body = "".join(draw(st.lists(html_node(), min_size=0, max_size=6)))
+    title = draw(text_chars).replace("<", "").replace(">", "")
+    return f"<html><head><title>{title}</title></head><body>{body}</body></html>"
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_page())
+def test_extract_never_crashes_and_spans_reconstruct(payload):
+    r1 = extract_payload(payload)
+    r2 = extract_payload(payload)
+    assert r1.text == r2.text
+    assert r1.strategy == r2.strategy
+    assert reconstruct(payload, r1.text, r1.spans) == r1.text
+    # cleanup guarantees printability (modulo kept \n\t\r)
+    for ch in r1.text:
+        if r1.status in ("ok",):
+            assert ch in "\n\t\r" or ch.isprintable()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_arbitrary_text_payloads_never_crash(payload):
+    r = extract_payload(payload)
+    assert reconstruct(payload, r.text, r.spans) == r.text
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="ab \n", max_size=40), max_size=6))
+def test_pdfish_never_crashes(lines):
+    payload = "%PDF-SYNTH\n%%page 1\n" + "\n".join(lines)
+    r = extract_payload(payload, tool="pdf")
+    assert r.status in ("ok", "pdf_empty")
+    assert reconstruct(payload, r.text, r.spans) == r.text
