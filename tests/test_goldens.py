@@ -44,9 +44,7 @@ def test_span_invariant_and_determinism(name, seed):
     assert r1.text == r2.text and r1.strategy == r2.strategy
     assert reconstruct(payload, r1.text, r1.spans) == r1.text
     # spans tile the text exactly
-    covered = sum(
-        (sp["end"] - sp["start"]) for sp in r1.spans
-    )
+    covered = sum(end - start for start, end, _kind in r1.spans)
     assert covered == len(r1.text)
 
 

@@ -173,6 +173,24 @@ def _chain_matches(el, chain, idx) -> bool:
     return False
 
 
+def decompose_all(root, selectors: list[str]) -> None:
+    """Decompose every descendant matching ANY selector — single tree
+    walk instead of one walk per selector.  Final tree state is
+    identical to sequential per-selector select+decompose (decomposing
+    a node inside an already-collected subtree is a no-op)."""
+    chains = []
+    for selector in selectors:
+        chains.extend(_parse_selector(selector))
+    matches = []
+    for el in root.descendants():
+        for chain in chains:
+            if _chain_matches(el, chain, len(chain) - 1):
+                matches.append(el)
+                break
+    for el in matches:
+        el.decompose()
+
+
 def select(root, selector: str) -> list:
     """All live descendant elements of ``root`` matching ``selector``,
     in document order (bs4 ``select`` contract)."""

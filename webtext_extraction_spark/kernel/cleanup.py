@@ -48,6 +48,8 @@ _MD_LINK = re.compile(r"\[[^\]]*\]\([^)]*\)\s*")
 _MD_IMGTAG = re.compile(r"<img[^>]*>\s*")
 
 _CONTENT_INDICATORS = [re.compile(p) for p in rules.CONTENT_INDICATOR_PATTERNS]
+# kept-whitespace removed before the whole-string isprintable fast path
+_WS_STRIP = {ord("\n"): None, ord("\t"): None, ord("\r"): None}
 
 
 def remove_duplicate_content(tt: TrackedText) -> TrackedText:
@@ -86,6 +88,10 @@ def _printable_filter(tt: TrackedText) -> TrackedText:
     Zs except ' ' — no SQL builtin matches, hence kernel-side."""
     tt = tt.sub(re.compile("�"), "")
     if not tt.text:
+        return tt
+    # fast path: whole-string isprintable check (C speed) — per-char
+    # masking only when the text actually contains dirty characters
+    if tt.text.translate(_WS_STRIP).isprintable():
         return tt
     keep = np.fromiter(
         ((ch in "\n\t\r") or ch.isprintable() for ch in tt.text),

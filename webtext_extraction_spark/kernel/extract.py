@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from webtext_extraction_spark import rules
 from webtext_extraction_spark.html import dom as htmldom
+from webtext_extraction_spark.html.selector import decompose_all
 from webtext_extraction_spark.kernel import handlers
 from webtext_extraction_spark.kernel.cleanup import (
     cleanup_extracted_text,
@@ -48,13 +49,16 @@ _MD_HEADER_RE = re.compile(r"^(Title|URL Source|Published Time|Markdown Content)
 @dataclass
 class ExtractResult:
     text: str
-    spans: list
+    spans: list  # (start, end, kind) tuples; dict view via spans_dicts()
     strategy: str
     status: str
 
+    def spans_dicts(self) -> list[dict]:
+        return [{"start": s, "end": e, "kind": k} for s, e, k in self.spans]
+
     @classmethod
     def from_tracked(cls, tt: TrackedText, strategy: str, status: str = "ok"):
-        return cls(tt.text, tt.spans(), strategy, status)
+        return cls(tt.text, tt.span_tuples(), strategy, status)
 
     @classmethod
     def synthetic(cls, text: str, strategy: str, status: str):
@@ -103,9 +107,7 @@ def extract_main_content(dom, domain: str) -> tuple[TrackedText, str]:
         elements = dom.select(selector)
         if elements:
             best = max(elements, key=lambda e: len(e.get_text(strip=True)))
-            for unwanted in rules.UNWANTED_SELECTORS:
-                for tag in best.select(unwanted):
-                    tag.decompose()
+            decompose_all(best, rules.UNWANTED_SELECTORS)
             main_text = best.get_text_tracked(separator="\n", strip=True)
             if main_text.text:
                 return main_text, "generic"
@@ -137,9 +139,7 @@ def extract_main_content(dom, domain: str) -> tuple[TrackedText, str]:
     if text_blocks:
         text_blocks.sort(key=lambda x: x[1], reverse=True)  # stable: doc order ties
         best_block = text_blocks[0][0]
-        for unwanted in rules.UNWANTED_SELECTORS:
-            for tag in best_block.select(unwanted):
-                tag.decompose()
+        decompose_all(best_block, rules.UNWANTED_SELECTORS)
         best_text = best_block.get_text_tracked(separator="\n", strip=True)
         if best_text.text:
             return best_text, "heuristic"
@@ -147,9 +147,7 @@ def extract_main_content(dom, domain: str) -> tuple[TrackedText, str]:
     # D4 — body fallback (W:1340-1356)
     body = dom.body
     if body is not None:
-        for unwanted in rules.BODY_UNWANTED_SELECTORS:
-            for tag in body.select(unwanted):
-                tag.decompose()
+        decompose_all(body, rules.BODY_UNWANTED_SELECTORS)
         body_text = body.get_text_tracked(separator="\n", strip=True)
         if body_text.text and len(body_text.text) > rules.BODY_MIN_CHARS:
             return body_text, "body"

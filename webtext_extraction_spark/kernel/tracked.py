@@ -161,16 +161,35 @@ class TrackedText:
                 )
         return out
 
+    def span_tuples(self) -> list[tuple]:
+        """spans() as (start, end, kind) tuples — the Arrow-friendly
+        form the extraction UDF emits (dict construction is measurable
+        at millions of rows)."""
+        n = len(self.text)
+        if n == 0:
+            return []
+        off = self.off
+        prev, cur = off[:-1], off[1:]
+        contiguous = ((prev == -1) & (cur == -1)) | ((prev != -1) & (cur == prev + 1))
+        bounds = np.concatenate(([0], np.flatnonzero(~contiguous) + 1, [n]))
+        out = []
+        for run_start, run_end in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            if off[run_start] == -1:
+                out.append((run_start, run_end, "syn"))
+            else:
+                first = int(off[run_start])
+                out.append((first, first + (run_end - run_start), "src"))
+        return out
 
-def reconstruct(payload: str, extracted: str, spans: list[dict]) -> str:
-    """Rebuild extracted text from payload + spans (test invariant)."""
+
+def reconstruct(payload: str, extracted: str, spans: list) -> str:
+    """Rebuild extracted text from payload + spans (test invariant).
+    Accepts dict spans ({start,end,kind}) or (start, end, kind) tuples."""
     parts = []
-    pos = 0
     for sp in spans:
-        if sp["kind"] == "src":
-            parts.append(payload[sp["start"] : sp["end"]])
-            pos += sp["end"] - sp["start"]
+        if isinstance(sp, dict):
+            start, end, kind = sp["start"], sp["end"], sp["kind"]
         else:
-            parts.append(extracted[sp["start"] : sp["end"]])
-            pos = sp["end"]
+            start, end, kind = sp
+        parts.append(payload[start:end] if kind == "src" else extracted[start:end])
     return "".join(parts)

@@ -69,28 +69,31 @@ def _extract_batch(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
     # imported inside so the python worker resolves them after fork
     from webtext_extraction_spark.kernel.extract import derive_url_and_domain, extract_payload
 
-    out = {
-        "extracted_text": [],
-        "spans": [],
-        "strategy": [],
-        "status": [],
-        "url": [],
-        "domain": [],
-    }
-    for payload, tool in zip(texts, tools):
-        payload = payload if isinstance(payload, str) else ""
-        tool = tool if isinstance(tool, str) else ""
+    n = len(texts)
+    c_text, c_spans, c_strat, c_status, c_url, c_dom = [], [], [], [], [], []
+    for payload, tool in zip(texts.tolist(), tools.tolist()):
+        if not isinstance(payload, str):
+            payload = ""
+        if not isinstance(tool, str):
+            tool = ""
         result = extract_payload(payload, tool)
         url, domain = derive_url_and_domain(payload)
-        out["extracted_text"].append(result.text)
-        out["spans"].append(
-            [(sp["start"], sp["end"], sp["kind"]) for sp in result.spans]
-        )
-        out["strategy"].append(result.strategy)
-        out["status"].append(result.status)
-        out["url"].append(url)
-        out["domain"].append(domain)
-    return pd.DataFrame(out)
+        c_text.append(result.text)
+        c_spans.append(result.spans)  # already (start, end, kind) tuples
+        c_strat.append(result.strategy)
+        c_status.append(result.status)
+        c_url.append(url)
+        c_dom.append(domain)
+    return pd.DataFrame(
+        {
+            "extracted_text": c_text,
+            "spans": c_spans,
+            "strategy": c_strat,
+            "status": c_status,
+            "url": c_url,
+            "domain": c_dom,
+        }
+    )
 
 
 @pandas_udf(EXTRACT_RESULT_TYPE)

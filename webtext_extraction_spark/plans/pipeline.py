@@ -31,7 +31,9 @@ def extraction_pipeline(
     every row); callers that need the stable output order add
     ``.orderBy('conv_id', 'turn_idx')`` at the sink (O1)."""
     if num_partitions is None:
-        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+        # 3 tasks per core: fine-grained tasks smooth stragglers (hot
+        # pages cost ~10× a normal page even after salting)
+        num_partitions = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
     hot = (
         detect_hot_keys(transcripts, sample_fraction=0.1)
         if salt_hot_keys

@@ -18,7 +18,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256
+# Arrow batch sizing rule: target ~1-32 MB per batch. 1024 rows fits
+# the KB-scale payloads of the fixture corpus; jobs processing multi-MB
+# payloads should tune this DOWN (256 or lower) to bound executor
+# python memory — override via get_spark(extra_conf=...).
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_ARROW_BATCH_ROWS", "1024"))
 
 
 def get_spark(
