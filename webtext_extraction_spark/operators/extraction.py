@@ -97,8 +97,17 @@ def _extract_batch(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(EXTRACT_RESULT_TYPE)
-def extract_udf(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+def _extract_udf_raw(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
     return _extract_batch(texts, tools)
+
+
+# The kernel IS deterministic, but Catalyst duplicates deterministic
+# UDFs when pushing filters through their projection (observed: a
+# status filter over the output doubled the extraction work).  Marking
+# it non-deterministic forces exactly-once evaluation; input-side
+# filters are written before extract_turns anyway, so nothing needs to
+# push past it.
+extract_udf = _extract_udf_raw.asNondeterministic()
 
 
 def with_error_pattern_status(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
