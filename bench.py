@@ -113,15 +113,17 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    # minhash candidate join is quadratic in bucket collisions and the
-    # synthetic word-soup corpus collides maximally — cap the input and
-    # say so in the metric name (no silent caps)
-    docs_capped = docs.filter(F.col("doc_id") < 1000)
+    # the synthetic word-soup corpus is DEGENERATE for LSH: most doc
+    # pairs genuinely exceed jaccard 0.7, so candidate verification is
+    # inherently quadratic here (on real corpora LSH is sub-quadratic
+    # because buckets are sparse).  Cap the input and say so in the
+    # metric name (no silent caps).
+    docs_capped = docs.filter(F.col("doc_id") < 300)
     t0 = time.time()
     dedup.minhash_lsh_pairs(
         docs_capped, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
     ).count()
-    timings["dedup_minhash_lsh_first1k"] = time.time() - t0
+    timings["dedup_minhash_lsh_first300"] = time.time() - t0
 
     t0 = time.time()
     dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect()
