@@ -54,7 +54,7 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("name", "attrs", "parent", "children", "decomposed")
+    __slots__ = ("name", "attrs", "parent", "children", "decomposed", "_classes")
 
     def __init__(self, name: str, attrs: dict, parent):
         self.name = name
@@ -62,6 +62,7 @@ class Element:
         self.parent = parent
         self.children: list = []
         self.decomposed = False
+        self._classes = None  # lazy class-token cache (attrs are immutable)
 
     # -- attribute helpers -------------------------------------------------
     def get(self, key: str, default=None):
@@ -70,8 +71,10 @@ class Element:
         return self.attrs.get(key, default)
 
     def class_list(self) -> list[str]:
-        raw = self.attrs.get("class")
-        return raw.split() if raw else []
+        if self._classes is None:
+            raw = self.attrs.get("class")
+            self._classes = raw.split() if raw else []
+        return self._classes
 
     @property
     def id(self):

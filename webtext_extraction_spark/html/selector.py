@@ -177,13 +177,33 @@ def decompose_all(root, selectors: list[str]) -> None:
     """Decompose every descendant matching ANY selector — single tree
     walk instead of one walk per selector.  Final tree state is
     identical to sequential per-selector select+decompose (decomposing
-    a node inside an already-collected subtree is a no-op)."""
-    chains = []
+    a node inside an already-collected subtree is a no-op).
+
+    Bare-tag and single-class compounds (all 26 boilerplate selectors)
+    collapse into two set-membership tests per element."""
+    simple_tags: set[str] = set()
+    simple_classes: set[str] = set()
+    complex_chains = []
     for selector in selectors:
-        chains.extend(_parse_selector(selector))
+        for chain in _parse_selector(selector):
+            if len(chain) == 1:
+                c = chain[0][1]
+                if c.tag and c.tag != "*" and not c.classes and not c.ids and not c.attrs:
+                    simple_tags.add(c.tag)
+                    continue
+                if not c.tag and len(c.classes) == 1 and not c.ids and not c.attrs:
+                    simple_classes.add(c.classes[0])
+                    continue
+            complex_chains.append(chain)
     matches = []
     for el in root.descendants():
-        for chain in chains:
+        if el.name in simple_tags:
+            matches.append(el)
+            continue
+        if simple_classes and not simple_classes.isdisjoint(el.class_list()):
+            matches.append(el)
+            continue
+        for chain in complex_chains:
             if _chain_matches(el, chain, len(chain) - 1):
                 matches.append(el)
                 break

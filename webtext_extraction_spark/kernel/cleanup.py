@@ -73,7 +73,18 @@ def remove_duplicate_content(tt: TrackedText) -> TrackedText:
     for para in paragraphs:
         is_dup = False
         for seen in kept_texts:
-            if SequenceMatcher(None, para.text, seen).ratio() > 0.8:
+            if para.text == seen:  # exact dup: ratio()==1.0 > 0.8
+                is_dup = True
+                break
+            sm = SequenceMatcher(None, para.text, seen)
+            # quick ratios are UPPER BOUNDS on ratio(): gating on them
+            # is exact for the strict > 0.8 test and skips the O(n²)
+            # pass for clearly-dissimilar pairs
+            if (
+                sm.real_quick_ratio() > 0.8
+                and sm.quick_ratio() > 0.8
+                and sm.ratio() > 0.8
+            ):
                 is_dup = True
                 break
         if not is_dup:
