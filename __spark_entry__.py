@@ -332,6 +332,57 @@ def _q_c8_filename_sanitize(spark, sf_dir):
     ).orderBy("p_partkey")
 
 
+def _q_s5_payload_kind(spark, sf_dir):
+    # S5 — content-kind dispatch as a vectorized predicate on the
+    # payload itself (W:353-370 → engine: magic-prefix dispatch)
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "payload",
+        F.expr(
+            "case when doc_id % 4 = 0 then concat('%PDF-SYNTH', chr(10), text) "
+            "when doc_id % 4 = 1 then concat('<html><body>', text, '</body></html>') "
+            "when doc_id % 4 = 2 then concat('Title: x', chr(10), text) "
+            "else text end"
+        ),
+    )
+    kind = (
+        F.when(F.col("payload").startswith("%PDF-SYNTH"), "pdf")
+        .when(F.col("payload").startswith("<html"), "html")
+        .when(F.col("payload").rlike(r"^(Title|URL Source|Markdown Content):"), "markdown")
+        .otherwise("text")
+    )
+    return (
+        docs.withColumn("kind", kind)
+        .groupBy("kind")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("kind")
+    )
+
+
+def _q_c2_markdown_cleanup(spark, sf_dir):
+    # C2 — the reader-output markdown strip chain as JVM regexp_replace
+    # steps (W:89-106), order-exact
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "md",
+        F.concat(
+            F.lit("Title: Page\nURL Source: https://r.example/x\nMarkdown Content:\n"),
+            F.col("text"),
+            F.lit(" [link](https://a.example/b) tail ![img](https://c.example/i.png)"),
+        ),
+    )
+    out = F.col("md")
+    for pattern in [
+        r"(?m)^Title:.*\n?",
+        r"(?m)^URL Source:.*\n?",
+        r"(?m)^Published Time:.*\n?",
+        r"(?m)^Markdown Content:\n?",
+        r"\[!\[[^\]]*\]\([^)]*\)\]\([^)]*\)\s*",
+        r"!\[[^\]]*\]\([^)]*\)\s*",
+        r"\[[^\]]*\]\([^)]*\)\s*",
+    ]:
+        out = F.regexp_replace(out, pattern, "")
+    return docs.select("doc_id", F.trim(out).alias("cleaned")).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").withColumn(
         "dtext",
@@ -431,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_blank_collapse": _q_c3_blank_collapse,
         "c6_domain_extract": _q_c6_domain_extract,
         "c8_filename_sanitize": _q_c8_filename_sanitize,
+        "s5_payload_kind": _q_s5_payload_kind,
+        "c2_markdown_cleanup": _q_c2_markdown_cleanup,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -621,6 +674,39 @@ def oracle_sql() -> dict[str, str]:
                    translate(concat('a<b>:"c/d\\e|f?g*', p_name),
                              '<>:"/\\|?*', '_________') AS fname
             FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+        """,
+        "s5_payload_kind": """
+            WITH d AS (SELECT doc_id,
+              case when doc_id % 4 = 0 then concat('%PDF-SYNTH', chr(10), text)
+                   when doc_id % 4 = 1 then concat('<html><body>', text, '</body></html>')
+                   when doc_id % 4 = 2 then concat('Title: x', chr(10), text)
+                   else text end AS payload
+              FROM documents)
+            SELECT (case when starts_with(payload, '%PDF-SYNTH') then 'pdf'
+                         when starts_with(payload, '<html') then 'html'
+                         when regexp_matches(payload, '^(Title|URL Source|Markdown Content):')
+                           then 'markdown'
+                         else 'text' end) AS kind,
+                   count(*)::BIGINT AS n
+            FROM d GROUP BY kind ORDER BY kind
+        """,
+        "c2_markdown_cleanup": """
+            WITH d AS (SELECT doc_id,
+              concat('Title: Page', chr(10), 'URL Source: https://r.example/x',
+                     chr(10), 'Markdown Content:', chr(10), text,
+                     ' [link](https://a.example/b) tail ![img](https://c.example/i.png)')
+                AS md FROM documents)
+            SELECT doc_id, trim(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(md,
+                '(?m)^Title:.*\\n?', '', 'g'),
+                '(?m)^URL Source:.*\\n?', '', 'g'),
+                '(?m)^Published Time:.*\\n?', '', 'g'),
+                '(?m)^Markdown Content:\\n?', '', 'g'),
+                '\\[!\\[[^\\]]*\\]\\([^)]*\\)\\]\\([^)]*\\)\\s*', '', 'g'),
+                '!\\[[^\\]]*\\]\\([^)]*\\)\\s*', '', 'g'),
+                '\\[[^\\]]*\\]\\([^)]*\\)\\s*', '', 'g')) AS cleaned
+            FROM d ORDER BY doc_id
         """,
         "dedup_exact": """
             WITH d AS (SELECT doc_id,

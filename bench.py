@@ -39,9 +39,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 def build_transcripts(spark, sf: float, override: int | None = None):
     from webtext_extraction_spark.sources.transcripts import synth_transcripts
 
-    # sf0.1 → 7000 conversations ≈ 45k turns; linear in sf
+    # sf0.1 → 7000 conversations ≈ 45k turns; linear in sf.  The bench
+    # profile mixes realistic-size (~10-20 KB) article pages with the
+    # golden archetype pool — real pages are 10-500 KB; the ~1 KB
+    # golden pages exist for test readability, not realism.
     n_conv = override if override else max(200, int(70000 * sf))
-    return synth_transcripts(spark, num_conversations=n_conv)
+    return synth_transcripts(spark, num_conversations=n_conv, profile="bench")
 
 
 def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,

@@ -24,12 +24,13 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _sf_from_dir, run_once
+from bench import _sf_from_dir  # noqa: F401  (run_once used by bench_one)
 
 LO, HI = 8, 32
 
@@ -82,10 +83,26 @@ def main():
     sf = _sf_from_dir(sf_dir)
     convs = int(os.environ.get("BENCH_CONVS", max(800, int(280000 * sf))))
 
+    # each level runs in a FRESH process (fresh JVM): sequential
+    # SparkSessions in one JVM inherit heap/GC state that skews the
+    # second measurement (observed: hi level 30-40% slower in-process)
     results = {}
+    control = {}
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_one.py")
     for cores in (LO, HI):
-        results[cores] = run_once(cores, sf_dir, sf, convs, ops=False)
-    control = hardware_control()
+        out = subprocess.run(
+            [sys.executable, runner, str(cores), str(convs)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        results[cores] = {
+            "turns": r["turns"],
+            "turns_per_sec": r["turns_per_sec"],
+            "timings": {"extract_pipeline": r["extract_sec"]},
+        }
+        control[cores] = r["control_tps"]
 
     thr_lo, thr_hi = results[LO]["turns_per_sec"], results[HI]["turns_per_sec"]
     spark_speedup = thr_hi / thr_lo

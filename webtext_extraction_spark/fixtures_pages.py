@@ -337,3 +337,14 @@ def payload_for(conv_id: str, turn_idx: int) -> tuple[str, str]:
     name, builder, tool = archetype_for(conv_id, turn_idx)
     seed = h % 100003
     return builder(seed), tool
+
+
+def bench_payload_for(conv_id: str, turn_idx: int, heavy_scale: int = 25) -> tuple[str, str]:
+    """Bench-profile payloads: half the turns are realistic-size article
+    pages (~10-20 KB — real web pages run 10-500 KB, the golden pool's
+    ~1 KB pages exist for test readability, not realism), the other
+    half the full golden archetype mix."""
+    h = _stable_hash(f"{conv_id}#{turn_idx}")
+    if h % 2 == 0:
+        return h01_main_article(h % 100003, scale=heavy_scale), "fetch"
+    return payload_for(conv_id, turn_idx)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
-from webtext_extraction_spark.fixtures_pages import payload_for
+from webtext_extraction_spark.fixtures_pages import bench_payload_for, payload_for
 
 PAYLOAD_TYPE = StructType(
     [
@@ -35,10 +35,10 @@ PAYLOAD_TYPE = StructType(
 _ROLES = ["user", "assistant", "tool"]
 
 
-def _payload_batch(conv_ids: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
+def _payload_batch(conv_ids: pd.Series, turn_idxs: pd.Series, fn) -> pd.DataFrame:
     texts, tools, roles = [], [], []
     for conv_id, turn_idx in zip(conv_ids, turn_idxs):
-        text, tool = payload_for(str(conv_id), int(turn_idx))
+        text, tool = fn(str(conv_id), int(turn_idx))
         texts.append(text)
         tools.append(tool)
         roles.append(_ROLES[int(turn_idx) % 3])
@@ -47,13 +47,19 @@ def _payload_batch(conv_ids: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(PAYLOAD_TYPE)
 def payload_udf(conv_ids: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
-    return _payload_batch(conv_ids, turn_idxs)
+    return _payload_batch(conv_ids, turn_idxs, payload_for)
+
+
+@pandas_udf(PAYLOAD_TYPE)
+def bench_payload_udf(conv_ids: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
+    return _payload_batch(conv_ids, turn_idxs, bench_payload_for)
 
 
 def synth_transcripts(
     spark: SparkSession,
     num_conversations: int = 200,
     partitions: int | None = None,
+    profile: str = "golden",
 ) -> DataFrame:
     """Build the transcripts DataFrame, fully distributed.
 
@@ -86,7 +92,8 @@ def synth_transcripts(
             + F.col("turn_idx")
         ),
     )
-    payloads = skeleton.withColumn("_p", payload_udf(F.col("conv_id"), F.col("turn_idx")))
+    gen_udf = bench_payload_udf if profile == "bench" else payload_udf
+    payloads = skeleton.withColumn("_p", gen_udf(F.col("conv_id"), F.col("turn_idx")))
     return payloads.select(
         "conv_id",
         "turn_idx",
