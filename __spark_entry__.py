@@ -442,6 +442,13 @@ def _q_sim_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def _q_sim_ivf_ann_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb, query_ids=[0, 1, 2], k=5, n_cells=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _q_sim_embedding_neardup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return similarity.embedding_near_duplicates(emb, threshold=0.3).orderBy(
@@ -492,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_ann_topk": _q_sim_lsh_ann_topk,
+        "sim_ivf_ann_topk": _q_sim_ivf_ann_topk,
         "sim_embedding_neardup": _q_sim_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
     }
@@ -835,6 +843,32 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT q.query_id, b.vec_id AS neighbor_id, {cos_qb} AS cos
               FROM q JOIN bucketed b ON q.q_bucket = b.bucket
+              WHERE b.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC)::INT AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cos::DOUBLE AS cos, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "sim_ivf_ann_topk": f"""
+            WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS embedding
+                 FROM embeddings),
+            cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+            assign AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding, c.cvec), c.cid) AS rn
+              FROM e, cent c),
+            celled AS (
+              SELECT e.vec_id, e.embedding, a.cid AS cell
+              FROM e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding, cell AS q_cell
+                  FROM celled WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT q.query_id, b.vec_id AS neighbor_id, {cos_qb} AS cos
+              FROM q JOIN celled b ON q.q_cell = b.cell
               WHERE b.vec_id <> q.query_id),
             ranked AS (SELECT query_id, neighbor_id, cos,
                        row_number() OVER (PARTITION BY query_id

@@ -172,3 +172,30 @@ def test_multimodal_real_decode_raises(spark):
     media = synth_media(spark, n=2)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def test_ivf_ann_cell_assignment_matches_numpy(spark):
+    import numpy as np
+
+    from webtext_extraction_spark.operators.similarity import (
+        default_centroids,
+        ivf_ann_topk,
+        with_ivf_cell,
+    )
+
+    vecs = [(i, [math.sin(i * 0.7 + j) for j in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    centroids = default_centroids(df, k=4)
+    cells = {r["vec_id"]: r["cell"] for r in with_ivf_cell(df, centroids).collect()}
+
+    a = np.array([v for _, v in vecs])
+    c = np.array(centroids)
+    expected = ((a[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+    for i in range(40):
+        assert cells[i] == expected[i]
+
+    ann = ivf_ann_topk(df, query_ids=[5], k=3, n_cells=4)
+    rows = ann.collect()
+    assert 0 < len(rows) <= 3
+    for r in rows:  # every neighbor shares the query's cell
+        assert cells[r["neighbor_id"]] == cells[5]

@@ -130,5 +130,14 @@ def test_resume_idempotent(spark, transcripts, tmp_path):
     # no duplicate keys
     keys = [(r["conv_id"], r["turn_idx"]) for r in resumed]
     assert len(keys) == len(set(keys))
+
+    # lineage rows complete and carry the north-rule fields
+    lineage = spark.read.parquet(phased + "/_lineage").collect()
+    assert {r["bucket"] for r in lineage} == set(range(8))
+    for r in lineage:
+        assert r["rows"] == r["rows_in"]
+        assert r["bytes_in"] > 0 and r["bytes_out"] >= 0
+        assert r["rows_ok"] + r["rows_not_ok"] == r["rows"]
+        assert r["rule_version"] and r["input_snapshot"]
     shutil.rmtree(single, ignore_errors=True)
     shutil.rmtree(phased, ignore_errors=True)

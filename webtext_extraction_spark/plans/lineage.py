@@ -50,11 +50,15 @@ def run_extraction(
     output_path: str,
     num_buckets: int = 32,
     buckets_per_commit: int | None = None,
+    input_snapshot: str = "unversioned",
 ) -> dict:
     """Resumable bucketed extraction run.
 
     ``buckets_per_commit`` limits how many buckets one invocation
     processes (used by the kill/rerun test); None = all remaining.
+    ``input_snapshot`` identifies the input version in every lineage
+    row (the Iceberg snapshot id in production; a path/label here) so
+    a resume against a *different* input is detectable.
     Returns summary counters.
     """
     data_path = os.path.join(output_path, DATA_DIR)
@@ -76,6 +80,16 @@ def run_extraction(
         return {"buckets_done": 0, "rows": 0}
 
     batch = src.filter(F.col("bucket").isin(remaining))
+    # per-bucket input accounting (bytes processed — north-rule lineage)
+    input_stats = {
+        r["bucket"]: (r["rows_in"], r["bytes_in"])
+        for r in batch.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.sum(F.length("text")).alias("bytes_in"),
+        )
+        .collect()
+    }
     extracted = extract_turns(batch.drop("bucket")).withColumn(
         "bucket", bucket_id(F.col("conv_id"), num_buckets)
     )
@@ -90,8 +104,16 @@ def run_extraction(
         .parquet(data_path)
     )
 
-    # phase 2 — lineage commit (append AFTER data is down)
+    # phase 2 — lineage commit (append AFTER data is down).  Row shape
+    # per north rule: (bucket, input snapshot id, row counts, bytes
+    # processed, extraction-rule version)
     out = spark.read.parquet(data_path).filter(F.col("bucket").isin(remaining))
+    in_rows = F.create_map(
+        *[F.lit(x) for kv in input_stats.items() for x in (kv[0], kv[1][0])]
+    )
+    in_bytes = F.create_map(
+        *[F.lit(x) for kv in input_stats.items() for x in (kv[0], kv[1][1])]
+    )
     lineage = (
         out.groupBy("bucket")
         .agg(
@@ -100,7 +122,10 @@ def run_extraction(
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_ok"),
             F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("rows_not_ok"),
         )
+        .withColumn("rows_in", in_rows[F.col("bucket")])
+        .withColumn("bytes_in", in_bytes[F.col("bucket")])
         .withColumn("rule_version", F.lit(rules.RULE_VERSION))
+        .withColumn("input_snapshot", F.lit(input_snapshot))
     )
     lineage.write.mode("append").parquet(lineage_path)
 
