@@ -383,6 +383,20 @@ def _q_c2_markdown_cleanup(spark, sf_dir):
     return docs.select("doc_id", F.trim(out).alias("cleaned")).orderBy("doc_id")
 
 
+def _q_d13_ping_decode(spark, sf_dir):
+    # D13 — ping-wrapped URL decode (yahoo_url_search.py:166-209)
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "wrapped",
+        F.expr(
+            "concat('https://ord.yahoo.co.jp/ping/*-https%3A%2F%2F', source, "
+            "'.example.com%2Fdoc%2F', cast(doc_id as string), '%3Fq%3Dx%26r%3D1')"
+        ),
+    )
+    return docs.select(
+        "doc_id", textfn.ping_decode(F.col("wrapped")).alias("decoded")
+    ).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").withColumn(
         "dtext",
@@ -491,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_filename_sanitize": _q_c8_filename_sanitize,
         "s5_payload_kind": _q_s5_payload_kind,
         "c2_markdown_cleanup": _q_c2_markdown_cleanup,
+        "d13_ping_decode": _q_d13_ping_decode,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -714,6 +729,19 @@ def oracle_sql() -> dict[str, str]:
                 '\\[!\\[[^\\]]*\\]\\([^)]*\\)\\]\\([^)]*\\)\\s*', '', 'g'),
                 '!\\[[^\\]]*\\]\\([^)]*\\)\\s*', '', 'g'),
                 '\\[[^\\]]*\\]\\([^)]*\\)\\s*', '', 'g')) AS cleaned
+            FROM d ORDER BY doc_id
+        """,
+        "d13_ping_decode": """
+            WITH d AS (SELECT doc_id,
+              concat('https://ord.yahoo.co.jp/ping/*-https%3A%2F%2F', source,
+                     '.example.com%2Fdoc%2F', cast(doc_id as varchar),
+                     '%3Fq%3Dx%26r%3D1') AS wrapped
+              FROM documents)
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(
+                     regexp_extract(wrapped, '/\\*-(.*)', 1),
+                     '%3A', ':'), '%2F', '/'), '%3F', '?'), '%3D', '='),
+                     '%26', '&') AS decoded
             FROM d ORDER BY doc_id
         """,
         "dedup_exact": """

@@ -59,3 +59,10 @@ def sanitize_filename(col) -> Column:
 def domain_of(url_col) -> Column:
     """C6 — corrected domain regex (W:1206 form; SURVEY Q3)."""
     return F.regexp_extract(url_col, r"https?://(?:www\.)?([^/]+)", 1)
+
+
+def ping_decode(url_col) -> Column:
+    """D13 — Yahoo SERP ping-wrapped URL decode
+    (yahoo_url_search.py:166-209): extract the ``/*-…`` tail and
+    percent-decode it."""
+    return F.url_decode(F.regexp_extract(url_col, r"/\*-(.*)", 1))

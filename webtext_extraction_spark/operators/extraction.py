@@ -110,15 +110,26 @@ def _extract_udf_raw(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
 extract_udf = _extract_udf_raw.asNondeterministic()
 
 
-def with_error_pattern_status(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+def with_error_pattern_status(
+    df: DataFrame,
+    text_col: str = "extracted_text",
+    patterns: list[str] | None = None,
+) -> DataFrame:
     """F6 — mark rows whose final text *contains* any broadcast error
     pattern (save_results → detect_browser_errors, W:1408-1455).
     Pure column expressions (JVM/codegen); the pattern list is tiny and
-    inlined as literals — the Catalyst analogue of a broadcast."""
+    inlined as literals — the Catalyst analogue of a broadcast.
+
+    Passing ``patterns`` re-scans an EXISTING extraction table with an
+    updated rule set without re-running extraction — the engine's
+    version of cleanup_error_pages.py (CE:100-195), which retro-scans
+    outputs when config.ini patterns change."""
     pattern_hit = None
-    for pattern in rules_mod.ERROR_PATTERNS:
+    for pattern in patterns if patterns is not None else rules_mod.ERROR_PATTERNS:
         cond = F.col(text_col).contains(pattern)
         pattern_hit = cond if pattern_hit is None else (pattern_hit | cond)
+    if pattern_hit is None:
+        return df
     return df.withColumn(
         "status",
         F.when((F.col("status") == "ok") & pattern_hit, F.lit("error_pattern")).otherwise(
