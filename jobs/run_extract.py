@@ -32,6 +32,11 @@ def main(argv=None):
     parser.add_argument("--buckets-per-commit", type=int, default=None)
     parser.add_argument("--synth-convs", type=int, default=None,
                         help="synthesize transcripts instead of --input")
+    parser.add_argument("--rules", default=None,
+                        help="JSON file of per-site selector overrides "
+                             "(domain -> [selectors]); broadcast to executors")
+    parser.add_argument("--input-snapshot", default=None,
+                        help="input version id recorded in lineage rows")
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,6 +56,16 @@ def main(argv=None):
     else:
         parser.error("one of --input / --synth-convs is required")
 
+    site_rules = None
+    if args.rules:
+        import json
+
+        from webtext_extraction_spark import rules as rules_mod
+
+        site_rules = dict(rules_mod.DOMAIN_SELECTORS)
+        with open(args.rules, encoding="utf-8") as fh:
+            site_rules.update(json.load(fh))
+
     from webtext_extraction_spark.plans.lineage import run_extraction
 
     summary = run_extraction(
@@ -59,6 +74,8 @@ def main(argv=None):
         args.output,
         num_buckets=args.num_buckets,
         buckets_per_commit=args.buckets_per_commit,
+        input_snapshot=args.input_snapshot or (args.input or "synth"),
+        site_rules=site_rules,
     )
     print(f"extraction complete: {summary}")
     spark.stop()

@@ -87,13 +87,19 @@ def derive_url_and_domain(payload: str) -> tuple[str, str]:
     return url, domain
 
 
-def extract_main_content(dom, domain: str) -> tuple[TrackedText, str]:
+def extract_main_content(
+    dom, domain: str, site_rules: dict | None = None
+) -> tuple[TrackedText, str]:
     """D1→D5 cascade (W:1239-1363).  Returns (tracked_text, strategy);
     empty text + strategy 'empty' when nothing matched.  Mutates the
-    tree (decompose), exactly like the reference mutates its soup."""
+    tree (decompose), exactly like the reference mutates its soup.
+
+    ``site_rules`` overrides the built-in domain→selectors table — the
+    executor-side view of a broadcast rule table (J3)."""
     # D1 — site-specific selectors: ALL matches joined '\n\n', no
     # unwanted-removal, returns even when the join is empty (W:1263-1268)
-    domain_selectors = rules.DOMAIN_SELECTORS.get(domain)
+    table = site_rules if site_rules is not None else rules.DOMAIN_SELECTORS
+    domain_selectors = table.get(domain)
     if domain_selectors:
         for selector in domain_selectors:
             elements = dom.select(selector)
@@ -162,11 +168,13 @@ def extract_main_content(dom, domain: str) -> tuple[TrackedText, str]:
     return TrackedText.empty(), "empty"
 
 
-def _selenium_variant(payload: str, domain: str) -> tuple[TrackedText, str]:
+def _selenium_variant(
+    payload: str, domain: str, site_rules: dict | None = None
+) -> tuple[TrackedText, str]:
     """The Selenium-path variant (W:1187-1224): extract_main_content on
     a fresh parse, then the W:1216 body fallback with keep-longer."""
     dom = htmldom.parse(payload)
-    tt, strategy = extract_main_content(dom, domain)
+    tt, strategy = extract_main_content(dom, domain, site_rules)
     if not tt.text or len(tt.text.strip()) < rules.SUCCESS_MIN_CHARS:
         for tag in dom.select(rules.SELENIUM_BODY_UNWANTED):
             tag.decompose()
@@ -180,8 +188,13 @@ def _selenium_variant(payload: str, domain: str) -> tuple[TrackedText, str]:
     return tt, strategy
 
 
-def extract_payload(payload: str, tool: str = "") -> ExtractResult:
-    """Per-turn decision tree (W:345-601 collapsed onto one payload)."""
+def extract_payload(
+    payload: str, tool: str = "", site_rules: dict | None = None
+) -> ExtractResult:
+    """Per-turn decision tree (W:345-601 collapsed onto one payload).
+
+    ``site_rules`` (optional) is the broadcast per-site selector
+    override table; None uses the built-in rules."""
     payload = payload or ""
     url, domain = derive_url_and_domain(payload)
 
@@ -220,7 +233,7 @@ def extract_payload(payload: str, tool: str = "") -> ExtractResult:
             tt = jina_markdown_cleanup(TrackedText.literal(payload, 0))
             if tt.text and len(tt.text) > 50:  # W:109 minimum-length gate
                 return ExtractResult.from_tracked(tt, "markdown")
-        tt, strategy = _selenium_variant(payload, domain)
+        tt, strategy = _selenium_variant(payload, domain, site_rules)
         if tt.text:
             return ExtractResult.from_tracked(tt, strategy)
         return ExtractResult.synthetic(
@@ -264,7 +277,7 @@ def extract_payload(payload: str, tool: str = "") -> ExtractResult:
 
     # 4. requests-path extraction (W:446-537)
     dom = htmldom.parse(payload)
-    tt, strategy = extract_main_content(dom, domain)
+    tt, strategy = extract_main_content(dom, domain, site_rules)
     extracted: TrackedText | None = None
     if tt.text and len(tt.text.strip()) >= rules.SUCCESS_MIN_CHARS:
         extracted = tt.strip()  # W:525
@@ -273,7 +286,7 @@ def extract_payload(payload: str, tool: str = "") -> ExtractResult:
 
     # 5. Selenium-variant retry when absent/short (W:539-564)
     if extracted is None or len(extracted.text.strip()) < rules.SUCCESS_MIN_CHARS:
-        selenium_tt, selenium_strategy = _selenium_variant(payload, domain)
+        selenium_tt, selenium_strategy = _selenium_variant(payload, domain, site_rules)
         if selenium_tt.text and len(selenium_tt.text.strip()) >= rules.SUCCESS_MIN_CHARS:
             extracted, strategy = selenium_tt, selenium_strategy
         else:

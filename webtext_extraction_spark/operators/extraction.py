@@ -65,7 +65,9 @@ TRANSCRIPT_SCHEMA = StructType(
 )
 
 
-def _extract_batch(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+def _extract_batch(
+    texts: pd.Series, tools: pd.Series, site_rules: dict | None = None
+) -> pd.DataFrame:
     # imported inside so the python worker resolves them after fork
     from webtext_extraction_spark.kernel.extract import derive_url_and_domain, extract_payload
 
@@ -76,7 +78,7 @@ def _extract_batch(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
             payload = ""
         if not isinstance(tool, str):
             tool = ""
-        result = extract_payload(payload, tool)
+        result = extract_payload(payload, tool, site_rules)
         url, domain = derive_url_and_domain(payload)
         c_text.append(result.text)
         c_spans.append(result.spans)  # already (start, end, kind) tuples
@@ -110,6 +112,21 @@ def _extract_udf_raw(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
 extract_udf = _extract_udf_raw.asNondeterministic()
 
 
+def make_extract_udf(spark, site_rules: dict):
+    """Extraction UDF with a RUNTIME rule table shipped to executors as
+    a SparkContext broadcast (J3 — the north-star "rule-table of
+    per-site selector overrides broadcast to executors").  The closure
+    captures only the broadcast handle; executors unpack it once per
+    worker."""
+    bc = spark.sparkContext.broadcast(site_rules)
+
+    @pandas_udf(EXTRACT_RESULT_TYPE)
+    def udf(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+        return _extract_batch(texts, tools, bc.value)
+
+    return udf.asNondeterministic()
+
+
 def with_error_pattern_status(
     df: DataFrame,
     text_col: str = "extracted_text",
@@ -138,10 +155,18 @@ def with_error_pattern_status(
     )
 
 
-def extract_turns(df: DataFrame) -> DataFrame:
+def extract_turns(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
     """transcripts → extraction results; stable (conv_id, turn_idx) keys
-    carried through (J1 made unnecessary — SURVEY.md §2.3)."""
-    result = df.withColumn("_ex", extract_udf(F.col("text"), F.col("tool")))
+    carried through (J1 made unnecessary — SURVEY.md §2.3).
+
+    ``site_rules`` ships a runtime per-site selector table to the
+    executors via broadcast; None uses the built-in rules module."""
+    udf = (
+        make_extract_udf(df.sparkSession, site_rules)
+        if site_rules is not None
+        else extract_udf
+    )
+    result = df.withColumn("_ex", udf(F.col("text"), F.col("tool")))
     result = result.select(
         "conv_id",
         "turn_idx",

@@ -51,6 +51,7 @@ def run_extraction(
     num_buckets: int = 32,
     buckets_per_commit: int | None = None,
     input_snapshot: str = "unversioned",
+    site_rules: dict | None = None,
 ) -> dict:
     """Resumable bucketed extraction run.
 
@@ -90,7 +91,7 @@ def run_extraction(
         )
         .collect()
     }
-    extracted = extract_turns(batch.drop("bucket")).withColumn(
+    extracted = extract_turns(batch.drop("bucket"), site_rules=site_rules).withColumn(
         "bucket", bucket_id(F.col("conv_id"), num_buckets)
     )
 
