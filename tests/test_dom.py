@@ -98,3 +98,31 @@ def test_get_text_tracked_offsets_literal():
     assert spans[0]["kind"] == "src"
     assert payload[spans[0]["start"] : spans[0]["end"]] == "hello"
     assert payload[spans[2]["start"] : spans[2]["end"]] == "world"
+
+
+def test_depth_cap_keeps_pathological_pages_bounded():
+    # 5000-deep nesting: no RecursionError, bounded time, text intact
+    # (MAX_DEPTH guard — the engine's deterministic answer to the
+    # reference's 600s straggler timeouts)
+    import time
+
+    from webtext_extraction_spark.kernel.extract import extract_payload
+    from webtext_extraction_spark.kernel.tracked import reconstruct
+
+    deep = "<html><body>" + "<div>" * 5000 + "text here body content" + "</div>" * 5000 + "</body></html>"
+    t0 = time.time()
+    r = extract_payload(deep)
+    assert time.time() - t0 < 30
+    assert r.text == "text here body content"
+    assert reconstruct(deep, r.text, r.spans) == r.text
+
+
+def test_depth_cap_balances_unmatched_closes():
+    # closes beyond the cap are absorbed by the overflow counter and
+    # do NOT pop real ancestors
+    deep = "<main>" + "<div>" * 600 + "x" + "</div>" * 600 + "<p>after</p></main>"
+    from webtext_extraction_spark.html.dom import parse
+
+    dom = parse(deep)
+    main = dom.select("main")[0]
+    assert "after" in main.get_text()

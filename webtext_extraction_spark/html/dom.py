@@ -32,6 +32,16 @@ VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# Nesting-depth guard: elements opened beyond this depth attach as
+# siblings at the cap level instead of nesting.  Rationale: block
+# scoring (D3) does per-block subtree text walks, which is quadratic
+# in nesting depth — a hostile 5000-deep payload would stall an
+# executor for ~12 s.  The reference's answer to stalls is a 600 s
+# wall-clock kill (W:1388, P2); the engine's is this deterministic
+# structural cap (real pages nest < 100 levels; capped parses remain
+# well-defined and linear).
+MAX_DEPTH = 512
+
 
 class TextNode:
     """One logical run of character data.
@@ -80,31 +90,42 @@ class Element:
     def id(self):
         return self.attrs.get("id")
 
-    # -- tree walks ---------------------------------------------------------
+    # -- tree walks (iterative: real pages nest 1000+ levels deep, which
+    # overflows the python stack with recursive generators) ----------------
     def iter(self):
         """Yield self + all live descendant Elements, document order."""
         if self.decomposed:
             return
         yield self
-        for child in self.children:
-            if isinstance(child, Element):
-                yield from child.iter()
+        yield from self.descendants()
 
     def iter_text_nodes(self):
         """Yield live TextNodes in document order."""
         if self.decomposed:
             return
-        for child in self.children:
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                child = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
             if isinstance(child, TextNode):
                 yield child
             elif isinstance(child, Element) and not child.decomposed:
-                yield from child.iter_text_nodes()
+                stack.append(iter(child.children))
 
     def descendants(self):
-        for child in self.children:
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                child = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
             if isinstance(child, Element) and not child.decomposed:
                 yield child
-                yield from child.descendants()
+                stack.append(iter(child.children))
 
     def ancestors(self):
         node = self.parent
@@ -230,6 +251,7 @@ class _TreeBuilder(HTMLParser):
         self.root = Document()
         self.stack: list[Element] = [self.root]
         self.pending: list = []  # text pieces awaiting flush
+        self.overflow = 0  # opens beyond MAX_DEPTH (flattened, not pushed)
 
     def _abs(self) -> int:
         line, col = self.getpos()
@@ -251,7 +273,10 @@ class _TreeBuilder(HTMLParser):
         el = Element(tag, attr_map, self.stack[-1])
         self.stack[-1].children.append(el)
         if tag not in VOID_ELEMENTS:
-            self.stack.append(el)
+            if len(self.stack) >= MAX_DEPTH:
+                self.overflow += 1  # attach flat; balance closes below
+            else:
+                self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
         self._flush_text()
@@ -264,6 +289,9 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag):
         self._flush_text()
+        if self.overflow > 0:  # closes a depth-capped (flattened) open
+            self.overflow -= 1
+            return
         # pop to the most recent matching open tag; ignore strays
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == tag:
