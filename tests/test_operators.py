@@ -199,3 +199,32 @@ def test_ivf_ann_cell_assignment_matches_numpy(spark):
     assert 0 < len(rows) <= 3
     for r in rows:  # every neighbor shares the query's cell
         assert cells[r["neighbor_id"]] == cells[5]
+
+
+def test_frame_sample_plan_shape(spark):
+    from webtext_extraction_spark.operators.multimodal import (
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    frames = frame_sample_plan(media, every_n=5)
+    rows = frames.collect()
+    assert all(r["sample_every"] == 5 for r in rows)
+    # only video rows fan out, 4 frame indices each
+    n_videos = media.filter("modality = 'video'").count()
+    assert len(rows) == n_videos * 4
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_null_and_empty_payloads(spark):
+    df = spark.createDataFrame(
+        [("c0", 0, "user", None, None, None), ("c0", 1, "user", "", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from webtext_extraction_spark.operators.extraction import extract_turns
+
+    rows = {r["turn_idx"]: r for r in extract_turns(df).collect()}
+    assert rows[0]["status"] == "failure_template"
+    assert rows[1]["status"] == "failure_template"
+    assert rows[0]["extracted_text"].startswith("すべての抽出方法で")
