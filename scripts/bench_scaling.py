@@ -130,7 +130,9 @@ def main():
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w", encoding="utf-8") as f:
+    # auto-report goes to a per-run file; BENCH/BASELINE.md is the
+    # curated, hand-annotated record and must not be clobbered
+    with open("BENCH/SCALING_LAST_RUN.md", "w", encoding="utf-8") as f:
         f.write(
             f"""# BENCH baseline — measured
 
