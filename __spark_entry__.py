@@ -20,6 +20,7 @@ Spark and DuckDB produce bit-identical values.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -77,6 +78,12 @@ _FTEXT_SPARK = (
 _FTEXT_SQL = _FTEXT_SPARK  # identical syntax in DuckDB
 
 _NAV_PHRASES = ["key", "value", "table", "spark"]
+
+# committed golden pinning entry()'s exact output (tests/gen_flagship_golden.py)
+# — the DuckDB-readable oracle for the non-SQL-expressible kernel cascade
+_FLAGSHIP_GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "goldens", "flagship.parquet"
+)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -471,13 +478,27 @@ def _q_sim_embedding_neardup(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Gate-checkable shape: scalar columns only (the driver's
+    canonicalizer cannot hash array cells).  The float features coming
+    out of the mapInPandas UDF are u16/65535 float32s, so
+    round(f*65535) recovers the exact integers the oracle rebuilds
+    from the md5 hexdigest."""
     from webtext_extraction_spark.operators.multimodal import (
         extract_media_features,
         synth_media,
     )
 
     media = synth_media(spark, n=64)
-    return extract_media_features(media).orderBy("media_id")
+    feats = extract_media_features(media)
+    u16_strs = F.transform(
+        F.col("feature"), lambda x: F.round(x * 65535).cast("int").cast("string")
+    )
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.md5(F.concat_ws(",", u16_strs)).alias("feature_hash"),
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -585,6 +606,17 @@ def oracle_sql() -> dict[str, str]:
     cos_qb = _COSINE.format(a="q.embedding", b="b.embedding")
 
     return {
+        "extract_flagship": f"""
+            SELECT conv_id, turn_idx, role, tool, extracted_text, strategy, status
+            FROM read_parquet('{_FLAGSHIP_GOLDEN}')
+            ORDER BY conv_id, turn_idx
+        """,
+        "extract_summary": f"""
+            SELECT status, strategy, count(*)::BIGINT AS rows,
+                   sum(length(extracted_text))::BIGINT AS bytes_out
+            FROM read_parquet('{_FLAGSHIP_GOLDEN}')
+            GROUP BY status, strategy ORDER BY status, strategy
+        """,
         "f1_url_exclusion": f"""
             SELECT source, count(*)::BIGINT AS kept
             FROM (SELECT source, {_URL_SQL} AS url FROM documents)
@@ -916,5 +948,23 @@ def oracle_sql() -> dict[str, str]:
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE {cos_ab} >= 0.3
             ORDER BY id_a, id_b
+        """,
+        # rebuilds synth_media's ASCII payloads + _fake_feature's
+        # md5→uint16-LE derivation entirely in SQL (multimodal.py:60-85)
+        "multimodal_features": """
+            WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+            p AS (SELECT i,
+              substr(repeat(md5('media' || i::VARCHAR), 3 + i % 8),
+                     1, 32 + (i % 5) * 16) AS payload
+              FROM ids),
+            h AS (SELECT i, length(payload) AS n_bytes, md5(payload) AS fh FROM p)
+            SELECT i::BIGINT AS media_id,
+              (case when i % 3 = 0 then 'image'
+                    when i % 3 = 1 then 'audio' else 'video' end) AS modality,
+              n_bytes::INT AS n_bytes,
+              md5(array_to_string(list_transform(generate_series(0, 7), k ->
+                (('0x' || substr(fh, 4*k+1, 2))::INT
+                 + 256 * ('0x' || substr(fh, 4*k+3, 2))::INT)::VARCHAR), ',')) AS feature_hash
+            FROM h ORDER BY media_id
         """,
     }

@@ -58,11 +58,16 @@ FEATURE_DIM = 8
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table.
+
+    Payload bytes are the ASCII md5 hexdigest of ``media{i}`` repeated
+    and truncated — deliberately ASCII-safe so the DuckDB oracle (whose
+    ``md5`` accepts VARCHAR only) can rebuild the exact payload and
+    replay the feature derivation end-to-end."""
     rows = []
     for i in range(n):
-        seed = hashlib.md5(f"media{i}".encode()).digest()
-        payload = (seed * (4 + i % 8))[: 32 + (i % 5) * 16]
+        seed_hex = hashlib.md5(f"media{i}".encode()).hexdigest()
+        payload = (seed_hex * (3 + i % 8))[: 32 + (i % 5) * 16].encode("ascii")
         modality = ["image", "audio", "video"][i % 3]
         rows.append((i, modality, bytearray(payload), 16 + i % 64, 16 + (i * 7) % 64, "fake"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
