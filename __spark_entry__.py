@@ -432,7 +432,7 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16).orderBy(
+    return dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy(
         "id_a", "id_b"
     )
 
@@ -468,6 +468,13 @@ def _q_sim_ivf_ann_topk(spark, sf_dir):
     return similarity.ivf_ann_topk(emb, query_ids=[0, 1, 2], k=5, n_cells=8).orderBy(
         "query_id", "rank"
     )
+
+
+def _q_sim_ivf_ann_multiprobe(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(
+        emb, query_ids=[0, 1, 2], k=5, n_cells=8, n_probe=2
+    ).orderBy("query_id", "rank")
 
 
 def _q_sim_embedding_neardup(spark, sf_dir):
@@ -536,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_ann_topk": _q_sim_lsh_ann_topk,
         "sim_ivf_ann_topk": _q_sim_ivf_ann_topk,
+        "sim_ivf_ann_multiprobe": _q_sim_ivf_ann_multiprobe,
         "sim_embedding_neardup": _q_sim_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
     }
@@ -560,6 +568,16 @@ def _minhash_sql(text_expr: str, num_hashes: int) -> str:
         for a, b in params
     )
     return hashes, f"[{sigs}]"
+
+
+def _simhash_banded_sql(bits: int, max_hamming: int) -> str:
+    """Pigeonhole (block, key) buckets over ``sh(_id, simhash)`` —
+    mirrors dedup.simhash_blocks exactly."""
+    return " UNION ALL ".join(
+        f"SELECT _id, simhash, {i} AS block, "
+        f"(simhash >> {off}) & {(1 << width) - 1} AS key FROM sh"
+        for i, (off, width) in enumerate(dedup.simhash_blocks(bits, max_hamming))
+    )
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -820,12 +838,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list_transform({_WORDSET.format(x='text')},
                      w -> {_PHASH.format(x='w')}) AS hs
               FROM documents WHERE doc_id < 100),
-            sh AS (SELECT doc_id AS _id, ({_simhash_sql(32)}) AS simhash,
-                          (({_simhash_sql(32)}) >> 16) AS _bucket FROM base)
-            SELECT a._id AS id_a, b._id AS id_b,
-                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-            FROM sh a JOIN sh b ON a._bucket = b._bucket AND a._id < b._id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+            sh AS (SELECT doc_id AS _id, ({_simhash_sql(32)}) AS simhash FROM base),
+            banded AS ({_simhash_banded_sql(32, 8)}),
+            cand AS (
+              SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+                              a.simhash AS sa, b.simhash AS sb
+              FROM banded a JOIN banded b
+                ON a.block = b.block AND a.key = b.key AND a._id < b._id)
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 8
             ORDER BY id_a, id_b
         """,
         "dedup_ngram_jaccard": """
@@ -926,6 +947,33 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1),
             q AS (SELECT vec_id AS query_id, embedding, cell AS q_cell
                   FROM celled WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT q.query_id, b.vec_id AS neighbor_id, {cos_qb} AS cos
+              FROM q JOIN celled b ON q.q_cell = b.cell
+              WHERE b.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC)::INT AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cos::DOUBLE AS cos, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "sim_ivf_ann_multiprobe": f"""
+            WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS embedding
+                 FROM embeddings),
+            cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+            assign AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding, c.cvec), c.cid) AS rn
+              FROM e, cent c),
+            celled AS (
+              SELECT e.vec_id, e.embedding, a.cid AS cell
+              FROM e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1),
+            q AS (SELECT e.vec_id AS query_id, e.embedding, a.cid AS q_cell
+                  FROM e JOIN assign a ON e.vec_id = a.vec_id AND a.rn <= 2
+                  WHERE e.vec_id IN (0,1,2)),
             scored AS (
               SELECT q.query_id, b.vec_id AS neighbor_id, {cos_qb} AS cos
               FROM q JOIN celled b ON q.q_cell = b.cell

@@ -76,6 +76,51 @@ def test_simhash_matches_python(docs_df):
         assert r["simhash"] == py_simhash(DOCS[r["doc_id"]][1])
 
 
+def test_simhash_pairs_find_upper_bit_neighbors(spark):
+    """Planted pair differing ONLY in the upper 16 fingerprint bits —
+    invisible to the old single-prefix bucketing, found by the
+    pigeonhole block permutation.  Single-token texts make
+    simhash == low 32 bits of portable_hash64(token); tok2419/tok6003
+    were searched offline: hamming 3, identical low-16 halves."""
+    a, b = "tok2419", "tok6003"
+    sa = portable_hash64_py(a) & 0xFFFFFFFF
+    sb = portable_hash64_py(b) & 0xFFFFFFFF
+    assert sa != sb and (sa ^ sb) & 0xFFFF == 0  # upper-bits-only diff
+    assert bin(sa ^ sb).count("1") <= 3
+    assert (sa >> 16) != (sb >> 16)  # the old bucket would separate them
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, "unrelated words entirely"), (3, "other filler text")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == bin(sa ^ sb).count("1")
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Pigeonhole completeness: operator output == exact all-pairs
+    hamming filter, for every max_hamming tried."""
+    texts = [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(6))) for i in range(30)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(df, "text").collect()}
+    for d in (1, 3, 8):
+        expected = {
+            (i, j): bin(sims[i] ^ sims[j]).count("1")
+            for i in sims
+            for j in sims
+            if i < j and bin(sims[i] ^ sims[j]).count("1") <= d
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_duplicates(
+                df, "doc_id", "text", max_hamming=d
+            ).collect()
+        }
+        assert got == expected, f"max_hamming={d}"
+
+
 def test_exact_duplicates(docs_df):
     clusters = dedup.exact_duplicates(docs_df, "doc_id", "text").collect()
     assert len(clusters) == 1
@@ -199,6 +244,15 @@ def test_ivf_ann_cell_assignment_matches_numpy(spark):
     assert 0 < len(rows) <= 3
     for r in rows:  # every neighbor shares the query's cell
         assert cells[r["neighbor_id"]] == cells[5]
+
+    # multi-probe: neighbors drawn from the query's 2 nearest cells,
+    # and the candidate pool strictly contains the single-probe one
+    q = a[5]
+    probe2 = set(((c - q) ** 2).sum(-1).argsort()[:2])
+    rows2 = ivf_ann_topk(df, query_ids=[5], k=10, n_cells=4, n_probe=2).collect()
+    assert {cells[r["neighbor_id"]] for r in rows2} <= probe2
+    single_ids = {r["neighbor_id"] for r in ivf_ann_topk(df, query_ids=[5], k=10, n_cells=4).collect()}
+    assert single_ids <= {r["neighbor_id"] for r in rows2}
 
 
 def test_frame_sample_plan_shape(spark):

@@ -153,50 +153,103 @@ def minhash_lsh_pairs(
 
 def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     """Append ``simhash`` bigint: bit b set iff the sum over tokens of
-    sign((h(w) >> b) & 1) is positive.  Pure expressions."""
+    sign(h(w) & 2^b) is positive.  Single pass: ONE ``F.aggregate``
+    traversal of the token-hash array carrying an array<long> of
+    per-bit vote counters (the previous shape ran ``bits`` independent
+    aggregate passes — 32× the work); the finish lambda assembles the
+    fingerprint.  Pure expressions, no shuffle, no Python."""
     hashes = F.transform(word_set(F.col(text_col)), lambda w: portable_hash64(w))
-    df = df.withColumn("_h", hashes)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def merge(acc, h):
+        # bit b of h set ⇔ h & 2^b ≠ 0 (constant powers array sidesteps
+        # shift-by-column, which F.shiftright does not support)
+        return F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != F.lit(0), 1).otherwise(-1),
+        )
 
-    bit_terms = [
-        F.when(
-            F.aggregate("_h", F.lit(0).cast("long"), bit_vote(b)) > 0,
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(bits)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return df.withColumn("simhash", total).drop("_h")
+    def finish(acc):
+        return F.aggregate(
+            F.zip_with(
+                acc,
+                powers,
+                lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+
+    return df.withColumn("simhash", F.aggregate(hashes, zero, merge, finish))
+
+
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole block layout: (offset, width) per block.  The
+    fingerprint is split into ``max_hamming + 1`` contiguous blocks
+    (clamped so no block is empty); any pair with hamming ≤
+    max_hamming differs in at most max_hamming blocks, so it must
+    agree EXACTLY on at least one block — emitting one bucket key per
+    block therefore finds every qualifying pair (complete recall, the
+    property the old single-prefix bucket lacked)."""
+    nblocks = min(max_hamming + 1, bits)
+    base, rem = divmod(bits, nblocks)
+    widths = [base + 1 if i < rem else base for i in range(nblocks)]
+    offsets = [sum(widths[:i]) for i in range(nblocks)]
+    return list(zip(offsets, widths))
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, bucketed on the
-    upper half of the fingerprint so the self-join is band-local (at
-    most one bucket per doc → linear candidate generation for docs
-    sharing a 16-bit prefix)."""
-    sh = with_simhash(df, text_col).select(
-        F.col(id_col).alias("_id"), "simhash", F.shiftright("simhash", 16).alias("_bucket")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
-    return (
-        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+    """Near-dup pairs by simhash hamming distance with complete recall
+    at the configured distance (pigeonhole block permutation — see
+    ``simhash_blocks``).  Shape mirrors minhash LSH: explode one
+    (block, key) bucket per block, equi-join on the bucket, dedup the
+    candidate pairs, verify exact hamming.  Candidates per block
+    shrink ~2^-width-fold, so the join is never all-pairs; raising
+    ``max_hamming`` trades narrower blocks (more candidates) for the
+    recall guarantee, which is the standard cost of the pigeonhole."""
+    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    banded = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright("simhash", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i, (off, width) in enumerate(simhash_blocks(bits, max_hamming))
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", "bk.block", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            "hamming",
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

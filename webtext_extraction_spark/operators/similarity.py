@@ -173,6 +173,31 @@ def default_centroids(df: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def probe_cells(
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+):
+    """array<int> of the ``n_probe`` nearest centroid cells (squared-L2
+    ascending, centroid index breaking ties) — multi-probe IVF's query
+    fan-out.  Pure expressions: one struct per centroid, array_sort,
+    slice."""
+    entries = []
+    for i, c in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in c]),
+                lambda v, w: (v.cast("double") - w) * (v.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(dist.alias("d"), F.lit(i).alias("cid")))
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -182,19 +207,21 @@ def ivf_ann_topk(
     n_cells: int = 8,
     n_probe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid cell,
-    probe only the query's cell(s).  The scale lever is identical to
-    LSH bucketing (equi-join on cell, candidates shrink n_cells-fold)
-    but the partition function is learned geometry instead of random
-    hyperplanes, which preserves recall on clustered data."""
+    """IVF-style ANN: assign every vector to its nearest centroid cell;
+    each query probes its ``n_probe`` nearest cells (classic IVF
+    multi-probe — single-probe recall collapses on clustered data when
+    a query sits near a cell boundary).  The scale lever is identical
+    to LSH bucketing (equi-join on cell, candidates shrink
+    n_cells/n_probe-fold) but the partition function is learned
+    geometry instead of random hyperplanes."""
     if query_ids is None:
         query_ids = [0, 1, 2]
     centroids = default_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
     celled = with_ivf_cell(embeddings, centroids, vec_col)
-    queries = celled.filter(F.col(id_col).isin(query_ids)).select(
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.col("cell").alias("q_cell"),
+        F.explode(probe_cells(centroids, vec_col, n_probe)).alias("q_cell"),
     )
     base = celled.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"), "cell"
