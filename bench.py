@@ -39,11 +39,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 def build_transcripts(spark, sf: float, override: int | None = None):
     from webtext_extraction_spark.sources.transcripts import synth_transcripts
 
-    # sf0.1 → 7000 conversations ≈ 45k turns; linear in sf.  The bench
+    # sf0.1 → 14000 conversations ≈ 91k turns; linear in sf.  The bench
     # profile mixes realistic-size (~10-20 KB) article pages with the
     # golden archetype pool — real pages are 10-500 KB; the ~1 KB
-    # golden pages exist for test readability, not realism.
-    n_conv = override if override else max(200, int(70000 * sf))
+    # golden pages exist for test readability, not realism.  Sized so
+    # the extraction leg runs long enough (>10 s at 32 cores) that
+    # fixed stage-scheduling overhead stops dominating turns/sec.
+    n_conv = override if override else max(200, int(140000 * sf))
     return synth_transcripts(spark, num_conversations=n_conv, profile="bench")
 
 
@@ -72,26 +74,31 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     warmup = extract_turns(transcripts.limit(512))
     warmup.agg(F.sum(F.length("extracted_text"))).collect()
 
-    # phase 1: hot-key detection (sampled JVM-only scan)
+    # phase 1: the flagship's auto skew probe (sampled JVM-only scan of
+    # two tiny columns — plans/pipeline.extraction_pipeline "auto")
     t0 = time.time()
     hot = detect_hot_keys(transcripts, sample_fraction=0.1)
     timings["hot_key_detect"] = time.time() - t0
 
-    # phase 2: salted repartition (the one shuffle)
-    t0 = time.time()
-    shuffled = salted_repartition(
-        transcripts, 3 * cores, hot_keys=hot
-    ).persist()
-    shuffled.count()
-    timings["salted_shuffle"] = time.time() - t0
+    # phase 2 — CONDITIONAL: the salted repartition is bought only when
+    # the probe actually finds hot keys (it doesn't on this corpus:
+    # max/mean conv bytes ≈ 3× < skew_factor 8).  At 100 TB the
+    # unconditional variant was a 100 TB shuffle; see VERDICT r01.
+    src = transcripts
+    if hot:
+        t0 = time.time()
+        src = salted_repartition(transcripts, 3 * cores, hot_keys=hot).persist()
+        src.count()
+        timings["salted_shuffle"] = time.time() - t0
 
-    # phase 3: the extraction operator — the headline turns/sec.
+    # phase 3: the extraction operator — the headline turns/sec, on
+    # scan/cache partitions directly (the auto plan's no-skew path).
     # forced through an aggregate over the UDF output: a bare count()
     # lets Catalyst prune the (deterministic) pandas UDF away entirely
     best = None
     for _attempt in range(2):  # best-of-2: the box shows run-to-run noise
         t0 = time.time()
-        out = extract_turns(shuffled)
+        out = extract_turns(src)
         agg = out.agg(
             F.count("*").alias("n"),
             F.sum(F.length("extracted_text")).alias("bytes_out"),
@@ -102,7 +109,8 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     timings["extract_pipeline"] = best
     n_out, bytes_out = agg["n"], agg["bytes_out"]
     assert n_out == n_turns
-    shuffled.unpersist()
+    if src is not transcripts:
+        src.unpersist()
 
     if not ops:
         transcripts.unpersist()

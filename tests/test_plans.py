@@ -67,6 +67,39 @@ def test_minhash_lsh_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # equi-join on (band,bucket)
 
 
+def test_pipeline_auto_skips_shuffle_when_no_skew(spark, tmp_path):
+    """Flagship plan buys the repartition ONLY under detected skew: on
+    a no-skew input the auto plan has no Exchange below the UDF (scan →
+    ArrowEvalPython), while salt_hot_keys=True forces one."""
+    from webtext_extraction_spark.plans.pipeline import extraction_pipeline
+
+    path = str(tmp_path / "t4")
+    synth_transcripts(spark, num_conversations=30).write.parquet(path)
+    flat = spark.read.parquet(path)
+
+    auto_plan = _plan(extraction_pipeline(flat))
+    assert "ArrowEvalPython" in auto_plan
+    assert "Exchange" not in auto_plan  # extraction is shuffle-free
+
+    forced_plan = _plan(extraction_pipeline(flat, salt_hot_keys=True))
+    assert "Exchange" in forced_plan
+
+
+def test_pipeline_auto_shuffles_under_skew(spark):
+    """With a genuinely hot conversation, auto detects it and the plan
+    gains the salted repartition."""
+    from webtext_extraction_spark.plans.pipeline import extraction_pipeline
+
+    rows = [(f"c{i}", 0, "user", "x" * 50, "fetch", None) for i in range(40)]
+    rows += [("hot", t, "user", "y" * 60000, "fetch", None) for t in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    plan = _plan(extraction_pipeline(df, hot_sample_fraction=None))
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" in plan
+
+
 def test_extraction_keeps_status_filter_jvm_side(spark, tmp_path):
     path = str(tmp_path / "t3")
     synth_transcripts(spark, num_conversations=5).write.parquet(path)

@@ -1,9 +1,18 @@
 """End-to-end extraction plans + the rendered-output formatter.
 
 ``extraction_pipeline`` is the flagship logical plan:
-scan → salted repartition → extract (one pandas UDF) → status layer.
-Everything before and after the UDF is Catalyst-visible; filters on
-conv_id/tool push into the parquet/Iceberg scan.
+scan → [salted repartition ONLY if skew detected] → extract (one
+pandas UDF) → status layer.  Everything before and after the UDF is
+Catalyst-visible; filters on conv_id/tool push into the parquet/
+Iceberg scan.
+
+Why the shuffle is conditional: scan splits are already byte-balanced
+(``maxPartitionBytes``) and extraction is stateless per row, so an
+unconditional repartition of the full payload column is a 100 TB
+shuffle at 100 TB input, bought to fix skew that balanced splits +
+AQE mostly already fix.  The default ``salt_hot_keys="auto"`` runs a
+sampled byte-skew probe (cheap: two tiny columns, sampled) and buys
+the shuffle only when a hot key actually exists.
 
 ``render_extracted`` reproduces the reference's text sink format for
 golden comparison (save_results W:1712-1726 + integrated.py:45-58):
@@ -25,21 +34,31 @@ from webtext_extraction_spark.operators.partitioning import (
 def extraction_pipeline(
     transcripts: DataFrame,
     num_partitions: int | None = None,
-    salt_hot_keys: bool = True,
+    salt_hot_keys: bool | str = "auto",
+    hot_sample_fraction: float = 0.1,
 ) -> DataFrame:
     """The flagship plan.  Ordering is NOT forced here (keys travel with
     every row); callers that need the stable output order add
-    ``.orderBy('conv_id', 'turn_idx')`` at the sink (O1)."""
-    if num_partitions is None:
-        # 3 tasks per core: fine-grained tasks smooth stragglers (hot
-        # pages cost ~10× a normal page even after salting)
-        num_partitions = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
-    hot = (
-        detect_hot_keys(transcripts, sample_fraction=0.1)
-        if salt_hot_keys
-        else None
-    )
-    balanced = salted_repartition(transcripts, num_partitions, hot_keys=hot)
+    ``.orderBy('conv_id', 'turn_idx')`` at the sink (O1).
+
+    ``salt_hot_keys``:
+    - ``"auto"`` (default): sampled hot-key probe; repartition + salt
+      ONLY when skew is found, else extract directly on scan splits.
+    - ``True``: always repartition (salting any detected hot keys) —
+      for inputs known to be skewed or pathologically split.
+    - ``False``: never probe, never shuffle.
+    """
+    hot = None
+    if salt_hot_keys is True or salt_hot_keys == "auto":
+        hot = detect_hot_keys(transcripts, sample_fraction=hot_sample_fraction)
+    if hot or salt_hot_keys is True:
+        if num_partitions is None:
+            # 3 tasks per core: fine-grained tasks smooth stragglers (hot
+            # pages cost ~10× a normal page even after salting)
+            num_partitions = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
+        balanced = salted_repartition(transcripts, num_partitions, hot_keys=hot)
+    else:
+        balanced = transcripts
     return extract_turns(balanced)
 
 
