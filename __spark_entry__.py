@@ -38,19 +38,19 @@ from webtext_extraction_spark.functions import text as textfn
 # shared synthetic columns (rendered identically on both engines)
 # ---------------------------------------------------------------------------
 
-# a URL column synthesized from documents, with excludable rows mixed in
+# a URL column synthesized from documents, with excludable rows mixed
+# in — shaped to hit several reference exclusion patterns (yahoo
+# search + ?rs=4, resource suffix, bare `privacy` substring)
 _URL_SQL = (
-    "concat('https://', source, '.example.com/doc/', cast(doc_id as varchar), "
-    "case when doc_id % 7 = 0 then '?rs=4' "
-    "when doc_id % 11 = 0 then '/style.css' "
-    "when doc_id % 13 = 0 then '' else '/page' end)"
+    "case when doc_id % 7 = 0 then "
+    "concat('https://search.yahoo.co.jp/search/doc/', cast(doc_id as varchar), '?rs=4') "
+    "when doc_id % 11 = 0 then "
+    "concat('https://', source, '.example.com/doc/', cast(doc_id as varchar), '/style.css') "
+    "when doc_id % 13 = 0 then "
+    "concat('https://', source, '.example.com/privacy/', cast(doc_id as varchar)) "
+    "else concat('https://', source, '.example.com/doc/', cast(doc_id as varchar), '/page') end"
 )
-_URL_SPARK = (
-    "concat('https://', source, '.example.com/doc/', cast(doc_id as string), "
-    "case when doc_id % 7 = 0 then '?rs=4' "
-    "when doc_id % 11 = 0 then '/style.css' "
-    "when doc_id % 13 = 0 then '' else '/page' end)"
-)
+_URL_SPARK = _URL_SQL.replace("as varchar", "as string")
 
 _NAVTEXT_SPARK = (
     "case when doc_id % 5 = 0 then 'ログイン' when doc_id % 5 = 1 then 'ab' "

@@ -126,3 +126,39 @@ def test_depth_cap_balances_unmatched_closes():
     dom = parse(deep)
     main = dom.select("main")[0]
     assert "after" in main.get_text()
+
+
+def test_depth_cap_named_close_reaches_real_stack():
+    # </body> arriving while a depth-capped <div> is still open must
+    # close the REAL body — the old counter consumed ANY end tag as a
+    # flattened close, so later content mis-nested (ADVICE r01)
+    from webtext_extraction_spark.html.dom import parse
+
+    deep = (
+        "<html><body>"
+        + "<div>" * 600  # 600 > MAX_DEPTH: the innermost opens flatten
+        + "inner"
+        + "</body><p>tail</p></html>"  # capped <div>s never closed
+    )
+    dom = parse(deep)
+    body = dom.select("body")[0]
+    assert "inner" in body.get_text()
+    assert "tail" not in body.get_text()  # tail is OUTSIDE the closed body
+
+
+def test_depth_cap_interleaved_named_closes():
+    # flattened opens of different names close by name, not by count
+    from webtext_extraction_spark.html.dom import parse
+
+    deep = (
+        "<main>"
+        + "<div>" * 520  # last 8+ flatten
+        + "<span>capped</span>"  # flattened open+close pair, by name
+        + "x"
+        + "</div>" * 520
+        + "<p>after</p></main>"
+    )
+    dom = parse(deep)
+    main = dom.select("main")[0]
+    assert "after" in main.get_text()
+    assert "capped" in main.get_text()

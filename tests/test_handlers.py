@@ -102,3 +102,18 @@ def test_yahoo_image_search_failure_template():
     r = extract_payload(html)
     assert r.status == "failure_template"
     assert r.text.startswith("Yahoo画像検索の抽出に失敗しました (Jina & Selenium):")
+
+
+def test_pinterest_wide_fallback_dedups_nested_identical_divs():
+    """W:1166-1169 — the wide fallback checks each candidate div's full
+    text against the LIVE result list, so a wrapper div and its inner
+    div with identical text append only once (ADVICE r01)."""
+    inner = "pin body text " * 10  # >100 chars, <1000 — dedupable
+    html = (
+        "<html><body><div class='wrapper'><div class='inner'>"
+        + inner.strip()
+        + "</div></div></body></html>"
+    )
+    tt, fail = handlers.handle_pinterest(parse(html), "https://pinterest.com/pin/1")
+    assert fail is None
+    assert tt.text.count(inner.strip()) == 1

@@ -103,6 +103,45 @@ def test_render_excludes_failures_keeps_timeouts(extracted):
         assert "（テキスト抽出タイムアウト）" in text  # Q5: kept in body
 
 
+def test_resume_detects_changed_input_snapshot(spark, transcripts, tmp_path):
+    """A resume handed a different input_snapshot must raise, not mix
+    two input versions into one output (lineage.run_extraction)."""
+    out = str(tmp_path / "snap")
+    run_extraction(
+        spark, transcripts, out, num_buckets=8, buckets_per_commit=3,
+        input_snapshot="snap-A",
+    )
+    with pytest.raises(ValueError, match="different input snapshot"):
+        run_extraction(
+            spark, transcripts, out, num_buckets=8, input_snapshot="snap-B"
+        )
+    # same snapshot resumes fine
+    r = run_extraction(
+        spark, transcripts, out, num_buckets=8, input_snapshot="snap-A"
+    )
+    assert r["buckets_done"] == 5
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_write_parallelism_decoupled_from_buckets(spark, transcripts, tmp_path):
+    """With num_buckets=2 the write stage must still produce more than
+    one file per bucket when write_partitions asks for it (the
+    one-task-per-bucket collapse is VERDICT r01 perf-weak #3)."""
+    import glob
+
+    out = str(tmp_path / "wide")
+    run_extraction(
+        spark, transcripts, out, num_buckets=2, write_partitions=12
+    )
+    for b in (0, 1):
+        files = glob.glob(f"{out}/data/bucket={b}/*.parquet")
+        assert len(files) > 1, f"bucket {b} wrote {len(files)} file(s)"
+    # output unchanged by the wider write
+    rows = read_output(spark, out).select("conv_id", "turn_idx").collect()
+    assert len(rows) == transcripts.count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_resume_idempotent(spark, transcripts, tmp_path):
     single = str(tmp_path / "single")
     phased = str(tmp_path / "phased")

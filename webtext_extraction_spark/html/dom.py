@@ -251,7 +251,11 @@ class _TreeBuilder(HTMLParser):
         self.root = Document()
         self.stack: list[Element] = [self.root]
         self.pending: list = []  # text pieces awaiting flush
-        self.overflow = 0  # opens beyond MAX_DEPTH (flattened, not pushed)
+        # tag names of opens beyond MAX_DEPTH (flattened, not pushed) —
+        # names are kept so an end tag only consumes a flattened open it
+        # actually matches; </body> arriving while a capped <div> is
+        # open must reach the real stack (ADVICE r01)
+        self.overflow_tags: list[str] = []
 
     def _abs(self) -> int:
         line, col = self.getpos()
@@ -274,7 +278,7 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].children.append(el)
         if tag not in VOID_ELEMENTS:
             if len(self.stack) >= MAX_DEPTH:
-                self.overflow += 1  # attach flat; balance closes below
+                self.overflow_tags.append(tag)  # attach flat; named close below
             else:
                 self.stack.append(el)
 
@@ -289,9 +293,15 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag):
         self._flush_text()
-        if self.overflow > 0:  # closes a depth-capped (flattened) open
-            self.overflow -= 1
-            return
+        if self.overflow_tags:
+            # consume the most recent MATCHING flattened open (closing
+            # any flattened opens above it, stack-scan semantics); an
+            # end tag naming no flattened open falls through to the
+            # real stack below
+            for i in range(len(self.overflow_tags) - 1, -1, -1):
+                if self.overflow_tags[i] == tag:
+                    del self.overflow_tags[i:]
+                    return
         # pop to the most recent matching open tag; ignore strays
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == tag:

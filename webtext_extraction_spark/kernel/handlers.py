@@ -337,10 +337,14 @@ def handle_pinterest(dom, url: str):
                 if len(plain) > 100:
                     large_divs.append((div, len(plain)))
             large_divs.sort(key=lambda x: x[1], reverse=True)
-            existing = [t.text for t in result]
             for div, _n in large_divs[:2]:
                 div_content = div.get_text_tracked(separator="\n", strip=True)
-                if div_content.text and div_content.text not in existing:
+                # membership test against the LIVE result list (W:1168),
+                # full text vs the already-truncated entries — so a
+                # wrapper/inner pair with identical ≤1000-char text
+                # appends once, while identical >1000-char divs append
+                # twice (reference quirk, pinned as-is)
+                if div_content.text and div_content.text not in [t.text for t in result]:
                     result.append(div_content.slice(0, 1000))
 
     if result:

@@ -44,6 +44,18 @@ def completed_buckets(spark: SparkSession, output_path: str) -> list[int]:
     return [r[0] for r in lineage.select("bucket").distinct().collect()]
 
 
+def lineage_snapshots(spark: SparkSession, output_path: str) -> set[str]:
+    """Distinct input_snapshot ids already committed to the lineage —
+    a resume over a different snapshot must be detected, not silently
+    mixed (reference analogue: completed_folder assumes one fixed URL
+    list per run directory, R:21-42)."""
+    lineage_path = os.path.join(output_path, LINEAGE_DIR)
+    if not os.path.exists(lineage_path):
+        return set()
+    lineage = spark.read.parquet(lineage_path)
+    return {r[0] for r in lineage.select("input_snapshot").distinct().collect()}
+
+
 def run_extraction(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -52,18 +64,32 @@ def run_extraction(
     buckets_per_commit: int | None = None,
     input_snapshot: str = "unversioned",
     site_rules: dict | None = None,
+    write_partitions: int | None = None,
 ) -> dict:
     """Resumable bucketed extraction run.
 
     ``buckets_per_commit`` limits how many buckets one invocation
     processes (used by the kill/rerun test); None = all remaining.
     ``input_snapshot`` identifies the input version in every lineage
-    row (the Iceberg snapshot id in production; a path/label here) so
-    a resume against a *different* input is detectable.
+    row (the Iceberg snapshot id in production; a path/label here); a
+    resume against a *different* snapshot raises rather than silently
+    mixing two input versions in one output table.
+    ``write_partitions`` sizes the write stage independently of
+    ``num_buckets`` (default 2 tasks/core, floor = remaining buckets) —
+    one-task-per-bucket would mean ~3 TB per write task at 100 TB.
     Returns summary counters.
     """
     data_path = os.path.join(output_path, DATA_DIR)
     lineage_path = os.path.join(output_path, LINEAGE_DIR)
+
+    seen_snapshots = lineage_snapshots(spark, output_path)
+    if seen_snapshots and seen_snapshots != {input_snapshot}:
+        raise ValueError(
+            f"resume over a different input snapshot: lineage has "
+            f"{sorted(seen_snapshots)}, run was given {input_snapshot!r}; "
+            "write to a fresh output_path (or re-run with the original "
+            "snapshot) instead of mixing input versions"
+        )
 
     done = completed_buckets(spark, output_path)
     src = transcripts.withColumn("bucket", bucket_id(F.col("conv_id"), num_buckets))
@@ -95,11 +121,21 @@ def run_extraction(
         "bucket", bucket_id(F.col("conv_id"), num_buckets)
     )
 
-    # phase 1 — data commit (dynamic partition overwrite = idempotent redo)
+    # phase 1 — data commit (dynamic partition overwrite = idempotent
+    # redo).  Write parallelism is DECOUPLED from bucket count: the
+    # shuffle key is (bucket, hash(conv_id)) so one bucket spreads over
+    # many write tasks (each conversation stays whole), and the
+    # partitionBy writer still routes rows to the right bucket dir.
+    if write_partitions is None:
+        write_partitions = max(
+            len(remaining), 2 * spark.sparkContext.defaultParallelism
+        )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        extracted.repartition(len(remaining), "bucket")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        extracted.repartition(
+            write_partitions, F.col("bucket"), F.xxhash64(F.col("conv_id"))
+        )
+        .sortWithinPartitions("bucket", "conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(data_path)

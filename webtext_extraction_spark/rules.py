@@ -189,34 +189,63 @@ NAV_RATIO_THRESHOLD = 0.7  # W:273
 STRICT_NAV_MAX_LEN = 300   # W:292
 
 # ---------------------------------------------------------------------------
-# F1/F2 — URL exclusion regexes (google_url_serch.py:20-55,
-# yahoo_url_search.py:21-59); used by the url-filter operator
+# F1/F2 — URL exclusion regexes: the exact UNION of the reference's two
+# lists (google_url_serch.py:22-48 ∪ yahoo_url_search.py:23-53), order
+# google-then-yahoo, shared resource-file pattern deduped.  Note the
+# reference quirks kept as-is: bare-substring `privacy`/`terms` (they
+# subsume privacy.yahoo/terms.yahoo, also kept verbatim), and the
+# commented-out image/news/chiebukuro-detail entries are NOT excluded.
 # ---------------------------------------------------------------------------
 URL_EXCLUDE_PATTERNS = [
+    # google_url_serch.py:22-48
     r"google\.com/search",
-    r"google\.co\.jp/search",
-    r"yahoo\.co\.jp/search",
-    r"search\.yahoo\.co\.jp",
-    r"/preferences\?",
-    r"accounts\.google\.com",
     r"support\.google\.com",
-    r"policies\.google\.com",
-    r"maps\.google\.com",
-    r"play\.google\.com",
+    r"accounts\.google\.com",
+    r"ads\.google\.com",
     r"translate\.google\.com",
-    r"webcache\.googleusercontent\.com",
-    r"\.(css|js|xml|ico)$",
-    r"[?&]rs=4(&|$)",
-    r"[?&]sqs=1(&|$)",
+    r"maps\.google\.com",
+    r"google\.com/maps",
+    r"google\.com/travel",
+    r"google\.co\.jp/intl",
+    r"google\.com/advanced_search",
+    r"policies\.google\.com",
+    r"privacy",
+    r"terms",
+    r"google\.com/preferences",
+    r"google\.com/webhp",
+    r"chrome\.google\.com",
+    r".*\.(css|js|xml|ico)$",
+    # yahoo_url_search.py:23-53
+    r"search\.yahoo\.co\.jp/search",
+    r"search\.yahoo\.co\.jp/video",
+    r"support\.yahoo\.co\.jp",
+    r"accounts\.yahoo\.co\.jp",
+    r"search\.yahoo\.co\.jp/.*\?rs=4",
+    r"search\.yahoo\.co\.jp/.*\?sqs=1",
+    r"ads\.yahoo\.co\.jp",
+    r"shopping\.yahoo\.co\.jp",
+    r"map\.yahoo\.co\.jp",
+    r"translate\.yahoo\.co\.jp",
+    r"auctions\.yahoo\.co\.jp",
+    r"chiebukuro\.yahoo\.co\.jp/search",
+    r"privacy\.yahoo\.co\.jp",
+    r"terms\.yahoo\.co\.jp",
+    r"yahoo\.co\.jp/preferences",
+    r"b\.hatena\.ne\.jp/entry",
 ]
 
-# F3 — navigation anchor-text words (google_url_serch.py:57-77)
+# F3 — navigation anchor-text words: the reference's nav_patterns list
+# verbatim (google_url_serch.py:59-70 == yahoo_url_search.py:63-70;
+# substring containment + the ≤2-char rule applied by the operator).
+# The duplicate アカウント entry in the reference is deduped; 規約
+# subsumes the reference's intent for 利用規約-style anchors.
 NAV_TEXT_WORDS = [
-    "ログイン", "サインイン", "登録", "設定", "ヘルプ", "プライバシー", "規約",
-    "利用規約", "お問い合わせ", "問い合わせ", "広告", "画像", "動画", "ニュース",
-    "ショッピング", "地図", "もっと見る", "次へ", "前へ", "メニュー", "検索",
-    "トップ", "ホーム", "キャンセル", "閉じる", "共有", "保存", "コピー",
-    "印刷", "ダウンロード", "アップロード", "編集", "削除", "履歴",
+    "設定", "検索設定", "ログイン", "画像", "動画", "地図", "ニュース",
+    "一覧", "メニュー", "トップ", "今すぐ", "使い方", "条件指定",
+    "アクティビティ", "日本語のみ", "リアルタイム", "ウェブ", "アカウント",
+    "ヘルプ", "プライバシー", "規約", "メールアドレス", "ホーム",
+    "ショッピング", "マップ", "カレンダー", "ブラウザ", "アプリ",
+    "最近の検索", "メール", "ファイナンス", "ブックマーク", "設定する",
 ]
 
 # ---------------------------------------------------------------------------

@@ -5,9 +5,11 @@ chosen to survive a 1000-executor / 100 TB deployment:
 
 - AQE on (runtime coalesce + skew-join splitting) — the Spark-native
   answer to the reference's straggler problem (SURVEY.md §2.9).
-- Arrow batches capped at 256 rows: payload rows are multi-KB HTML
-  strings, so the default 10k-row batches would hold multi-MB Arrow
-  buffers per python worker (SURVEY.md §4 vectorization note).
+- Arrow batches capped at 1024 rows (bench-optimal for the KB-scale
+  fixture payloads; the Spark default 10k-row batches would hold
+  multi-MB Arrow buffers per python worker — SURVEY.md §4).  Jobs with
+  multi-MB payloads tune DOWN via SPARK_ARROW_BATCH_ROWS / extra_conf
+  (jobs/run_extract.py uses 256).
 - shuffle partitions sized to cores locally; on a real cluster this is
   2-3× total executor cores (or left to AQE's coalescing).
 """
