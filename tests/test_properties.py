@@ -51,6 +51,49 @@ def test_extract_never_crashes_and_spans_reconstruct(payload):
             assert ch in "\n\t\r" or ch.isprintable()
 
 
+SOUP_TAGS = TAGS + ["script", "style", "noscript", "i", "u", "em", "body"]
+SOUP_SPECIALS = [
+    "<br>", "<img src='x'>", "<!-- c -->", "&amp;", "&#65;", "&#x3042;",
+    "<b><i>", "</p></p>", "</body>", "<div", "<>", "</", "<p/>",
+]
+
+
+@st.composite
+def tag_soup(draw):
+    """Flat token soup: arbitrary open/close interleavings — mis-nested
+    pairs, unclosed inline tags, stray closes, decompose targets
+    (script/style/nav) opened mid-soup, and unclosed <div> runs deep
+    enough to cross the MAX_DEPTH flattening path (VERDICT r01 #10)."""
+    parts = []
+    for _ in range(draw(st.integers(min_value=0, max_value=30))):
+        kind = draw(st.integers(0, 5))
+        tag = draw(st.sampled_from(SOUP_TAGS))
+        if kind == 0:
+            parts.append(f'<{tag} class="{draw(st.sampled_from(CLASSES))}">')
+        elif kind == 1:
+            parts.append(f"<{tag}>")
+        elif kind == 2:
+            parts.append(f"</{tag}>")
+        elif kind == 3:
+            parts.append(draw(text_chars))
+        elif kind == 4:
+            parts.append(draw(st.sampled_from(SOUP_SPECIALS)))
+        else:
+            # unclosed nesting run; several of these cross MAX_DEPTH=512
+            parts.append("<div>" * draw(st.integers(1, 200)))
+    return "<html><body>" + "".join(parts) + "</body></html>"
+
+
+@settings(max_examples=120, deadline=None)
+@given(tag_soup())
+def test_tag_soup_never_crashes_and_spans_reconstruct(payload):
+    r1 = extract_payload(payload)
+    r2 = extract_payload(payload)
+    assert r1.text == r2.text
+    assert r1.strategy == r2.strategy
+    assert reconstruct(payload, r1.text, r1.spans) == r1.text
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.text(max_size=300))
 def test_arbitrary_text_payloads_never_crash(payload):
