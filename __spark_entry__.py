@@ -477,6 +477,13 @@ def _q_sim_ivf_ann_multiprobe(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_sim_ivf_kmeans_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(
+        emb, query_ids=[0, 1, 2], k=5, n_cells=8, kmeans_iters=2
+    ).orderBy("query_id", "rank")
+
+
 def _q_sim_embedding_neardup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return similarity.embedding_near_duplicates(emb, threshold=0.3).orderBy(
@@ -506,6 +513,16 @@ def _q_multimodal_features(spark, sf_dir):
         "n_bytes",
         F.md5(F.concat_ws(",", u16_strs)).alias("feature_hash"),
     ).orderBy("media_id")
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    from webtext_extraction_spark.operators.multimodal import (
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    return frame_sample_plan(media, every_n=10).orderBy("media_id", "frame_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -544,8 +561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann_topk": _q_sim_lsh_ann_topk,
         "sim_ivf_ann_topk": _q_sim_ivf_ann_topk,
         "sim_ivf_ann_multiprobe": _q_sim_ivf_ann_multiprobe,
+        "sim_ivf_kmeans_topk": _q_sim_ivf_kmeans_topk,
         "sim_embedding_neardup": _q_sim_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
     }
 
 
@@ -593,6 +612,31 @@ _COSINE = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+
+def _kmeans_iter_sql(prev: str, nxt: str, dim: int = 64) -> str:
+    """One unrolled Lloyd round over CTE ``e(vec_id, embedding)``:
+    assign to nearest ``prev`` centroid (squared-L2 argmin ≡
+    list_distance order, cid tie-break), per-cell elementwise mean
+    rounded to 6 dp, empty cells keep their previous centroid —
+    mirrors similarity.kmeans_centroids exactly."""
+    return f"""
+            a_{nxt} AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding, c.cvec), c.cid) AS rn
+              FROM e, {prev} c),
+            m_{nxt} AS (
+              SELECT a.cid, p.pos, round(avg(e.embedding[p.pos]), 6) AS m
+              FROM e JOIN a_{nxt} a ON e.vec_id = a.vec_id AND a.rn = 1,
+                   (SELECT unnest(generate_series(1, {dim})) AS pos) p
+              GROUP BY a.cid, p.pos),
+            {nxt} AS (
+              SELECT c.cid, coalesce(l.vec, c.cvec) AS cvec
+              FROM {prev} c LEFT JOIN
+                (SELECT cid, list(m ORDER BY pos) AS vec
+                 FROM m_{nxt} GROUP BY cid) l
+                ON c.cid = l.cid)"""
 
 
 def _planes_sql(num_planes: int = 4, dim: int = 64) -> list[str]:
@@ -985,6 +1029,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos::DOUBLE AS cos, rank FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
+        "sim_ivf_kmeans_topk": f"""
+            WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS embedding
+                 FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+            {_kmeans_iter_sql("c0", "c1")},
+            {_kmeans_iter_sql("c1", "c2")},
+            assign AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding, c.cvec), c.cid) AS rn
+              FROM e, c2 c),
+            celled AS (
+              SELECT e.vec_id, e.embedding, a.cid AS cell
+              FROM e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding, cell AS q_cell
+                  FROM celled WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT q.query_id, b.vec_id AS neighbor_id, {cos_qb} AS cos
+              FROM q JOIN celled b ON q.q_cell = b.cell
+              WHERE b.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC)::INT AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cos::DOUBLE AS cos, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "sim_embedding_neardup": f"""
             WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> x::DOUBLE) AS embedding
@@ -1014,5 +1086,12 @@ def oracle_sql() -> dict[str, str]:
                 (('0x' || substr(fh, 4*k+1, 2))::INT
                  + 256 * ('0x' || substr(fh, 4*k+3, 2))::INT)::VARCHAR), ',')) AS feature_hash
             FROM h ORDER BY media_id
+        """,
+        "multimodal_frame_sample": """
+            WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i)
+            SELECT i::BIGINT AS media_id, f.frame_idx::INT AS frame_idx,
+                   10 AS sample_every, 'fake' AS meta_codec
+            FROM ids, (SELECT unnest([0, 1, 2, 3]) AS frame_idx) f
+            WHERE i % 3 = 2 ORDER BY media_id, frame_idx
         """,
     }

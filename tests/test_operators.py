@@ -255,6 +255,30 @@ def test_ivf_ann_cell_assignment_matches_numpy(spark):
     assert single_ids <= {r["neighbor_id"] for r in rows2}
 
 
+def test_kmeans_centroids_match_numpy_lloyd(spark):
+    import numpy as np
+
+    from webtext_extraction_spark.operators.similarity import (
+        default_centroids,
+        kmeans_centroids,
+    )
+
+    vecs = [(i, [math.sin(i * 0.9 + j) for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = kmeans_centroids(df, k=4, iters=2)
+
+    a = np.array([v for _, v in vecs])
+    c = np.array(default_centroids(df, k=4))
+    for _ in range(2):
+        assign = ((a[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+        rows = []
+        for j in range(4):
+            members = a[assign == j]
+            rows.append(np.round(members.mean(0), 6) if len(members) else c[j])
+        c = np.array(rows)
+    assert np.allclose(np.array(got), c, atol=1e-9)
+
+
 def test_frame_sample_plan_shape(spark):
     from webtext_extraction_spark.operators.multimodal import (
         frame_sample_plan,

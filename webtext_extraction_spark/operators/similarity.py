@@ -80,7 +80,17 @@ def cosine_topk(
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", num_planes: int = 4, dim: int = 64
 ) -> DataFrame:
-    """Append ``bucket`` int: bit i = (dot(vec, plane_i) > 0)."""
+    """Append ``bucket`` int: bit i = (dot(vec, plane_i) > 0).
+
+    Shape note (measured, not assumed): a single-pass variant that
+    arrays_zip's the vector with all plane weight arrays and carries an
+    array<double> of running dots — the fix that won 5× for
+    dedup.with_simhash — is SLOWER here (16 planes × 64 dims × 100k
+    rows: 2.6-2.9 s multi-pass vs 3.1-4.2 s zipped): materializing a
+    (num_planes+1)-field struct per vector element costs more than the
+    extra traversals of a primitive zip_with.  simhash won because its
+    per-bit work shares ONE token-hash array; here each plane has its
+    own weight array, so the zip is pure overhead.  Kept multi-pass."""
     planes = _plane_weights(num_planes, dim)
     bucket = F.lit(0)
     for i, weights in enumerate(planes):
@@ -167,10 +177,43 @@ def with_ivf_cell(
 
 
 def default_centroids(df: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic centroid seed: the first k vectors by id — the
-    stand-in for a sampled k-means (randomness is banned in tests)."""
+    """Deterministic centroid seed: the first k vectors by id
+    (randomness is banned in tests; refine with kmeans_centroids)."""
     rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd iterations: seed = first k
+    vectors by id, then ``iters`` rounds of (assign nearest cell →
+    per-cell elementwise mean).  Each round is one Spark job — assign
+    is pure expressions (with_ivf_cell), the mean is posexplode +
+    groupBy(cell, pos) avg, and only k×dim numbers reach the driver
+    (the same handful a real deployment would broadcast).  Components
+    are rounded to 6 dp so the DuckDB oracle replays bit-identically;
+    an empty cell keeps its previous centroid."""
+    cents = default_centroids(df, k, id_col, vec_col)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        celled = with_ivf_cell(df, cents, vec_col)
+        means = (
+            celled.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        new = {(r["cell"], r["pos"]): r["m"] for r in means}
+        cents = [
+            [float(new.get((c, p), cents[c][p])) for p in range(dim)]
+            for c in range(k)
+        ]
+    return cents
 
 
 def probe_cells(
@@ -206,6 +249,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_cells: int = 8,
     n_probe: int = 1,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid cell;
     each query probes its ``n_probe`` nearest cells (classic IVF
@@ -213,10 +257,18 @@ def ivf_ann_topk(
     a query sits near a cell boundary).  The scale lever is identical
     to LSH bucketing (equi-join on cell, candidates shrink
     n_cells/n_probe-fold) but the partition function is learned
-    geometry instead of random hyperplanes."""
+    geometry instead of random hyperplanes.  ``kmeans_iters > 0``
+    refines the first-k-by-id seed with deterministic Lloyd rounds
+    (kmeans_centroids) — the real-deployment shape, where cells track
+    the data's clusters instead of arbitrary seed vectors."""
     if query_ids is None:
         query_ids = [0, 1, 2]
-    centroids = default_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
+    if kmeans_iters > 0:
+        centroids = kmeans_centroids(
+            embeddings, k=n_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = default_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
     celled = with_ivf_cell(embeddings, centroids, vec_col)
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
