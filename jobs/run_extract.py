@@ -8,7 +8,7 @@ Cluster usage (north rule: multi-executor, N and 4N):
         jobs/run_extract.py \\
         --input <parquet-or-iceberg path/table> \\
         --output /data/extracted \\
-        --num-buckets 512 --salt-buckets 8
+        --num-buckets 512 --write-partitions 4096
 
 Config precedence (reference analogue W:1758-1789: CLI > config.ini >
 default): CLI args > spark conf > defaults.  The job is resumable:
@@ -21,7 +21,18 @@ downstream is unchanged.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# plain `python jobs/run_extract.py` (no --py-files): make the engine
+# importable on the driver AND in executor python workers.  Must run
+# before the SparkSession launches the JVM (workers inherit the env).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 
 def main(argv=None):
@@ -37,6 +48,9 @@ def main(argv=None):
                              "(domain -> [selectors]); broadcast to executors")
     parser.add_argument("--input-snapshot", default=None,
                         help="input version id recorded in lineage rows")
+    parser.add_argument("--write-partitions", type=int, default=None,
+                        help="write-stage task count (decoupled from "
+                             "--num-buckets; default 2 tasks/core)")
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -76,6 +90,7 @@ def main(argv=None):
         buckets_per_commit=args.buckets_per_commit,
         input_snapshot=args.input_snapshot or (args.input or "synth"),
         site_rules=site_rules,
+        write_partitions=args.write_partitions,
     )
     print(f"extraction complete: {summary}")
     spark.stop()

@@ -1,11 +1,19 @@
 """Streaming extraction: file-source micro-batches produce the same
-rows as the batch operator, with exactly-once on resume."""
+rows as the batch operator, with exactly-once on resume; watermarked
+windowed rollups drop late rows; applyInPandasWithState counters
+accumulate across micro-batches AND across query restarts."""
+
+import datetime
 
 from pyspark.sql import functions as F
 
 from webtext_extraction_spark.operators.extraction import extract_turns
 from webtext_extraction_spark.sources.transcripts import synth_transcripts
-from webtext_extraction_spark.streaming.stream import stream_extract
+from webtext_extraction_spark.streaming.stream import (
+    stream_conversation_state,
+    stream_extract,
+    stream_status_rollup,
+)
 
 
 def test_stream_matches_batch(spark, tmp_path):
@@ -36,3 +44,93 @@ def test_stream_matches_batch(spark, tmp_path):
     q2.awaitTermination(300)
     again = spark.read.parquet(out).count()
     assert again == len(batch)
+
+
+def _mk_turns(spark, conv_ids, n_turns, ts0):
+    rows = [
+        (c, t, "user", f"payload text for {c} turn {t} " * 3, "fetch",
+         ts0 + datetime.timedelta(seconds=120 * t))
+        for c in conv_ids
+        for t in range(n_turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_windowed_rollup_emits_closed_windows_and_drops_late(spark, tmp_path):
+    inp = str(tmp_path / "win_in")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    # batch 1: rows spanning 00:00-01:00
+    rows1 = [
+        ("c1", i, "user", "x" * 120, "fetch", t0 + datetime.timedelta(minutes=2 * i))
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows1, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("append").parquet(inp)
+    q = stream_status_rollup(spark, inp, out, ckpt, window="10 minutes", watermark="5 minutes")
+    q.awaitTermination(300)
+
+    # batch 2: a future row advances the watermark far past 01:00 → all
+    # earlier windows flush
+    spark.createDataFrame(
+        [("c2", 0, "user", "y" * 120, "fetch", t0 + datetime.timedelta(hours=3))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.mode("append").parquet(inp)
+    q = stream_status_rollup(spark, inp, out, ckpt, window="10 minutes", watermark="5 minutes")
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out).collect()
+    windows = {}
+    for r in emitted:
+        windows[r["window_start"]] = windows.get(r["window_start"], 0) + r["rows"]
+    # every 10-minute window of batch 1 is closed now and emitted once
+    for k in range(6):
+        ws = t0 + datetime.timedelta(minutes=10 * k)
+        assert windows.get(ws) == 5, (ws, windows)
+
+    # batch 3: a LATE row (ts inside batch 1's range, far behind the
+    # watermark) must be dropped — no new output, no double-count
+    spark.createDataFrame(
+        [("late", 0, "user", "z" * 120, "fetch", t0 + datetime.timedelta(minutes=1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.mode("append").parquet(inp)
+    q = stream_status_rollup(spark, inp, out, ckpt, window="10 minutes", watermark="5 minutes")
+    q.awaitTermination(300)
+    after = spark.read.parquet(out).collect()
+    late_total = sum(r["rows"] for r in after if r["window_start"] == t0)
+    assert late_total == 5  # unchanged — late row dropped
+
+
+def test_stateful_conversation_counters_accumulate(spark, tmp_path):
+    inp = str(tmp_path / "st_in")
+    out = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    _mk_turns(spark, ["a", "b"], 2, t0).write.mode("append").parquet(inp)
+    _mk_turns(spark, ["a", "b"], 3, t0).write.mode("append").parquet(inp)
+
+    q = stream_conversation_state(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    updates = spark.read.parquet(out).collect()
+    # state accumulated across micro-batches: final total = 2 + 3 turns
+    finals = {}
+    for r in updates:
+        finals[r["conv_id"]] = max(finals.get(r["conv_id"], 0), r["turns_seen"])
+    assert finals == {"a": 5, "b": 5}
+
+    # restart with the SAME checkpoint + a third file: state store
+    # persists, totals continue (not reset)
+    _mk_turns(spark, ["a"], 4, t0).write.mode("append").parquet(inp)
+    q2 = stream_conversation_state(spark, inp, out, ckpt)
+    q2.awaitTermination(300)
+    finals2 = {}
+    for r in spark.read.parquet(out).collect():
+        finals2[r["conv_id"]] = max(finals2.get(r["conv_id"], 0), r["turns_seen"])
+    assert finals2.get("a") == 9  # 5 carried in state + 4 new
+    assert finals2.get("b") == 5  # untouched by the restart

@@ -3,16 +3,33 @@
 The reference is strictly batch (SURVEY.md §2.10) — this module is
 engine-added surface: the same extraction operator applied to a
 stream of transcript files (the shape an Iceberg incremental read or
-a Kafka transcript feed would take).  Because extraction is per-turn
-and stateless, the batch pandas UDF lifts to streaming unchanged —
-no watermarks or state stores needed; exactly-once lands on the file
-sink's commit log (or the Iceberg streaming sink in production).
+a Kafka transcript feed would take).  Three tiers:
+
+- ``stream_extract`` — stateless lift of the batch pandas UDF
+  (extraction is per-turn, so no state store is needed);
+- ``stream_status_rollup`` — event-time windowed A6 metrics with a
+  watermark: late rows beyond the watermark are dropped, closed
+  windows emit exactly once (append mode);
+- ``stream_conversation_state`` — applyInPandasWithState: running
+  per-conversation counters that survive across micro-batches via the
+  checkpointed state store (the custom-stateful-operator shape).
+
+Exactly-once lands on the file sink's commit log (or the Iceberg
+streaming sink in production).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from webtext_extraction_spark.operators.extraction import TRANSCRIPT_SCHEMA, extract_turns
 
@@ -40,6 +57,130 @@ def stream_extract(
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_status_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """A6 metrics rollup as an event-time windowed streaming aggregate:
+    per (ts-window, status) row counts + output bytes.
+
+    ``withWatermark`` bounds the state store (a window's state is
+    dropped once the watermark passes its end) and defines lateness:
+    rows older than watermark are discarded, so append mode emits each
+    closed window exactly once — the standard late-data contract the
+    reference's batch counters cannot express."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    extracted = extract_turns(stream)
+    agg = (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "status")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("extracted_text")).alias("bytes_out"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "status",
+            "rows",
+            "bytes_out",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+CONV_STATE_OUTPUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turns_seen", LongType()),
+        StructField("bytes_seen", LongType()),
+    ]
+)
+
+CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("turns", LongType()),
+        StructField("bytes", LongType()),
+    ]
+)
+
+
+def _conv_state_fn(key, pdf_iter, state: GroupState):
+    """Running per-conversation totals across micro-batches — the state
+    row lives in the checkpointed state store, so totals accumulate
+    across restarts too."""
+    turns, nbytes = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        turns += len(pdf)
+        nbytes += int(pdf["text"].fillna("").str.len().sum())
+    state.update((turns, nbytes))
+    yield pd.DataFrame(
+        {"conv_id": [key[0]], "turns_seen": [turns], "bytes_seen": [nbytes]}
+    )
+
+
+def stream_conversation_state(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation running turn/byte counters emitted as an update
+    stream.
+
+    ``max_files_per_trigger=1`` forces one micro-batch per input file
+    so cross-batch state accumulation is actually exercised.  The sink
+    is foreachBatch (checkpoint-recoverable, unlike the memory sink):
+    each micro-batch's update rows append to ``output_dir``; in
+    production the same hook MERGEs into a keyed Iceberg table / Kafka
+    compacted topic.  The state store itself lives in
+    ``checkpoint_dir``, so totals survive query restarts."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    updates = stream.groupBy("conv_id").applyInPandasWithState(
+        _conv_state_fn,
+        outputStructType=CONV_STATE_OUTPUT,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    writer = (
+        updates.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
