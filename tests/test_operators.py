@@ -121,6 +121,31 @@ def test_simhash_pairs_match_bruteforce(spark):
         assert got == expected, f"max_hamming={d}"
 
 
+def test_connected_components_chains_and_singletons(spark):
+    """Multi-hop chains force several propagation rounds; singletons
+    keep their own id; disjoint clusters stay disjoint."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 20, 21)], ["node"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # a 12-node path: min label must travel the whole chain
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    cnodes = spark.createDataFrame([(i,) for i in range(13)], ["node"])
+    cc = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(chain, cnodes).collect()
+    }
+    assert all(v == 0 for v in cc.values())
+
+
 def test_exact_duplicates(docs_df):
     clusters = dedup.exact_duplicates(docs_df, "doc_id", "text").collect()
     assert len(clusters) == 1

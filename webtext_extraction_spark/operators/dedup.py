@@ -283,6 +283,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a
+    near-dup pair table → (node, component) where component = the
+    smallest id reachable (the canonical "keeper" of the cluster;
+    singletons map to themselves).
+
+    Algorithm: min-label propagation — every node starts labeled with
+    itself; each round takes the min of its own label and its
+    neighbors' labels; converges in O(graph diameter) rounds (checked
+    on the driver via a changed-row count, bounded by
+    ``max_iterations``).  Each round is one shuffle on the edge key;
+    ``localCheckpoint`` truncates the growing plan lineage.  Near-dup
+    graphs are overwhelmingly tiny cliques (diameter 1-2), so this
+    terminates in 2-3 rounds in practice; at adversarial scale the
+    standard upgrade is alternating large-star/small-star (Kiveris et
+    al.), same join shape."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = nodes.select(
+        F.col(node_col).cast("long").alias("node")
+    ).withColumn("label", F.col("node"))
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def ordered_distinct(df: DataFrame, key: str, order: str) -> DataFrame:
     """A1 — order-preserving distinct: first occurrence wins
     (dict.fromkeys semantics, google_url_serch.py:634)."""
