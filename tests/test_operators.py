@@ -121,6 +121,29 @@ def test_simhash_pairs_match_bruteforce(spark):
         assert got == expected, f"max_hamming={d}"
 
 
+def test_boilerplate_ngrams_finds_shared_phrase(spark):
+    shared = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words {shared} more text here"),
+            (1, f"{shared} and something different"),
+            (2, f"unrelated body then {shared}"),
+            (3, "totally distinct content with no repeats"),
+            (4, "short"),  # fewer words than n → no grams, no crash
+        ],
+        ["doc_id", "text"],
+    )
+    rows = dedup.boilerplate_ngrams(df, "doc_id", "text", n=5, min_docs=3).collect()
+    grams = {r["ngram"]: r["n_docs"] for r in rows}
+    assert grams.get(shared) == 3
+    # within-doc repetition must not inflate the document frequency
+    df2 = spark.createDataFrame(
+        [(0, f"{shared} {shared} {shared}"), (1, "x y z w v")], ["doc_id", "text"]
+    )
+    rows2 = dedup.boilerplate_ngrams(df2, "doc_id", "text", n=5, min_docs=2).collect()
+    assert rows2 == []
+
+
 def test_connected_components_chains_and_singletons(spark):
     """Multi-hop chains force several propagation rounds; singletons
     keep their own id; disjoint clusters stay disjoint."""

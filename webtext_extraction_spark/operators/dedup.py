@@ -283,6 +283,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document repeated word-n-gram detector — the standard
+    boilerplate / memorized-span finder for training corpora (exact
+    substring dedup's cheap cousin): word n-grams occurring in ≥
+    ``min_docs`` distinct documents, with doc counts.
+
+    Shape: per-row n-gram generation is a pure expression (sliding
+    window over the word array, deduped per doc so counts are document
+    frequencies), then ONE explode + groupBy on the gram — a single
+    shuffle whose keys shrink as min_docs rises.  At 100 TB the gram
+    would be hashed (portable_hash64) before the shuffle to bound key
+    width; kept as the string here so the output is human-auditable."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
