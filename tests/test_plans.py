@@ -100,6 +100,29 @@ def test_pipeline_auto_shuffles_under_skew(spark):
     assert "Exchange" in plan
 
 
+def test_boilerplate_ngrams_partial_aggregation(spark, tmp_path):
+    """explode → groupBy must keep the map-side partial aggregate
+    (two HashAggregate nodes) and prune unused columns from the scan."""
+    path = str(tmp_path / "bp")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta", i) for i in range(20)],
+        ["doc_id", "text", "extra_col"],
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = _plan(dedup.boilerplate_ngrams(docs, "doc_id", "text", n=3, min_docs=2))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+    assert "extra_col" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_connected_components_no_cartesian(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    plan = _plan(dedup.connected_components(pairs, nodes, max_iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_extraction_keeps_status_filter_jvm_side(spark, tmp_path):
     path = str(tmp_path / "t3")
     synth_transcripts(spark, num_conversations=5).write.parquet(path)
