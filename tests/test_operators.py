@@ -303,6 +303,43 @@ def test_ivf_ann_cell_assignment_matches_numpy(spark):
     assert single_ids <= {r["neighbor_id"] for r in rows2}
 
 
+def test_int8_quantized_topk_matches_exact(spark):
+    import numpy as np
+
+    from webtext_extraction_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+        with_int8_quantization,
+    )
+
+    vecs = [(i, [math.sin(i * 0.7 + j) + 0.01 * j for j in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    # quantization error bound: |dequant - x| <= scale/254 (+fp slop)
+    qrows = with_int8_quantization(df).collect()
+    for r in qrows[:10]:
+        x = np.array(r["embedding"])
+        s = r["q_scale"]
+        deq = np.array(r["qvec"]) * s / 127.0
+        assert np.abs(deq - x).max() <= s / 254 + 1e-9
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, query_ids=[0, 7], k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_int8(df, query_ids=[0, 7], k=5, rerank_factor=4).collect()
+    }
+    # exact rerank over the quantized shortlist recovers the true top-k
+    assert quant == exact
+
+    # zero vector quantizes to zeros without dividing by zero
+    z = spark.createDataFrame([(0, [0.0] * 8), (1, [1.0] * 8)], ["vec_id", "embedding"])
+    zr = {r["vec_id"]: list(r["qvec"]) for r in with_int8_quantization(z).collect()}
+    assert zr[0] == [0] * 8 and zr[1] == [127] * 8
+
+
 def test_kmeans_centroids_match_numpy_lloyd(spark):
     import numpy as np
 

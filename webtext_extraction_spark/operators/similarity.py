@@ -292,6 +292,100 @@ def ivf_ann_topk(
     )
 
 
+def with_int8_quantization(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``q_scale`` (per-vector max-abs) and ``qvec``
+    (array<int>, symmetric int8 range [-127, 127]).
+
+    The 100 TB lever: a 64-dim float32 embedding column is 256 B/row;
+    int8 is 64 B — a 4× scan/cache/shuffle reduction for the candidate
+    stage, with exact float rerank only on survivors.  Quantization is
+    ``floor(x·127/scale + 0.5)`` — floor-based so Spark, DuckDB and
+    Python round identically (their ``round`` half-way rules differ)."""
+    scale = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    df = df.withColumn("q_scale", scale)
+    qvec = F.when(
+        F.col("q_scale") > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 127 / F.col("q_scale") + 0.5).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return df.withColumn("qvec", qvec)
+
+
+def int8_cosine(qa, qb):
+    """Cosine in the quantized integer domain (exact integer dot —
+    bit-identical across engines; the per-vector scales cancel out of
+    the cosine up to quantization error)."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return dot.cast("double") / (norm(qa) * norm(qb))
+
+
+def cosine_topk_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Quantized-scan ANN: score ALL candidates with int8 cosine (the
+    cheap 4×-smaller pass), keep the top ``rerank_factor × k`` per
+    query, then rerank ONLY those with the exact float cosine.
+    Returns (query_id, neighbor_id, qcos, cos, rank) — rank by exact
+    cosine.  Recall loss happens only if a true top-k neighbor falls
+    outside the quantized top-(rerank_factor·k), which quantization
+    error of ≲1% makes rare."""
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    quant = with_int8_quantization(embeddings, vec_col)
+    queries = quant.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("qvec").alias("q_q"),
+    )
+    base = quant.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("qvec").alias("q_b"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qcos", F.round(int8_cosine(F.col("q_q"), F.col("q_b")), 6))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("_qrank", F.row_number().over(wq))
+        .filter(F.col("_qrank") <= rerank_factor * k)
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcos", "cos", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
