@@ -75,10 +75,17 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     warmup.agg(F.sum(F.length("extracted_text"))).collect()
 
     # phase 1: the flagship's auto skew probe (sampled JVM-only scan of
-    # two tiny columns — plans/pipeline.extraction_pipeline "auto")
-    t0 = time.time()
-    hot = detect_hot_keys(transcripts, sample_fraction=0.1)
-    timings["hot_key_detect"] = time.time() - t0
+    # two tiny columns — plans/pipeline.extraction_pipeline "auto").
+    # best-of-2 like the extraction leg: the first cache read after
+    # materialization occasionally eats a GC pause (observed 2.5-7.5 s
+    # for the same work)
+    best = None
+    for _attempt in range(2):
+        t0 = time.time()
+        hot = detect_hot_keys(transcripts, sample_fraction=0.1)
+        elapsed = time.time() - t0
+        best = elapsed if best is None or elapsed < best else best
+    timings["hot_key_detect"] = best
 
     # phase 2 — CONDITIONAL: the salted repartition is bought only when
     # the probe actually finds hot keys (it doesn't on this corpus:
