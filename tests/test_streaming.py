@@ -134,3 +134,41 @@ def test_stateful_conversation_counters_accumulate(spark, tmp_path):
         finals2[r["conv_id"]] = max(finals2.get(r["conv_id"], 0), r["turns_seen"])
     assert finals2.get("a") == 9  # 5 carried in state + 4 new
     assert finals2.get("b") == 5  # untouched by the restart
+
+
+def test_streaming_exact_dedup_keeps_first_across_batches_and_restarts(spark, tmp_path):
+    from webtext_extraction_spark.streaming.stream import stream_exact_dedup
+
+    inp = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    # batch 1: A, B  |  batch 2: B (dup), C  — separate files, 1/trigger
+    spark.createDataFrame(
+        [("c1", 0, "user", "textA", "fetch", t0), ("c1", 1, "user", "textB", "fetch", t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [("c2", 0, "user", "textB", "fetch", t0), ("c2", 1, "user", "textC", "fetch", t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    q = stream_exact_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    rows = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    texts = sorted(t for _, t in rows)
+    assert texts == ["textA", "textB", "textC"]
+    assert ("c2", "textB") not in rows  # cross-batch dup dropped, first kept
+
+    # restart: another B and a new D — state survives the restart
+    spark.createDataFrame(
+        [("c3", 0, "user", "textB", "fetch", t0), ("c3", 1, "user", "textD", "fetch", t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_exact_dedup(spark, inp, out, ckpt)
+    q2.awaitTermination(300)
+    rows2 = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert sorted(t for _, t in rows2) == ["textA", "textB", "textC", "textD"]
+    assert ("c3", "textB") not in rows2  # dup dropped even after restart

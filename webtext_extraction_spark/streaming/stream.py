@@ -142,6 +142,83 @@ def _conv_state_fn(key, pdf_iter, state: GroupState):
     )
 
 
+DEDUP_OUTPUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+DEDUP_STATE = StructType([StructField("seen", LongType())])
+
+
+def _dedup_state_fn(key, pdf_iter, state: GroupState):
+    """First occurrence of each content hash wins — across micro-batches
+    AND restarts (the seen-flag lives in the checkpointed state store)."""
+    already = state.exists
+    emitted = False
+    for pdf in pdf_iter:
+        if already or emitted or len(pdf) == 0:
+            continue
+        first = pdf.iloc[:1]
+        yield pd.DataFrame(
+            {
+                "conv_id": first["conv_id"].values,
+                "turn_idx": first["turn_idx"].astype("int64").values,
+                "text": first["text"].values,
+            }
+        )
+        emitted = True
+    if emitted and not already:
+        state.update((1,))
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact deduplication: only the FIRST turn with a given
+    content hash (md5(text)) ever reaches the output, even when the
+    duplicate arrives in a later micro-batch or after a query restart —
+    the standard keep-first contract a batch `dropDuplicates` cannot
+    give an unbounded stream.  (Across batches "first" is arrival
+    order; two identical texts inside ONE micro-batch keep an
+    arbitrary representative — the text, which is what dedup cares
+    about, is identical either way.)  State per distinct hash is one
+    long; production would add a state TTL (GroupStateTimeout) to
+    bound it over months of stream."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    keyed = stream.withColumn("content_hash", F.md5(F.col("text")))
+    deduped = keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_state_fn,
+        outputStructType=DEDUP_OUTPUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    writer = (
+        deduped.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_conversation_state(
     spark: SparkSession,
     input_dir: str,
