@@ -391,3 +391,38 @@ def test_null_and_empty_payloads(spark):
     assert rows[0]["status"] == "failure_template"
     assert rows[1]["status"] == "failure_template"
     assert rows[0]["extracted_text"].startswith("すべての抽出方法で")
+
+
+def test_resize_media_images_only(spark):
+    import hashlib
+
+    from webtext_extraction_spark.operators.multimodal import (
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=9)
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    rows = resize_media(media, target_width=64, target_height=48).collect()
+    assert len(rows) == 9
+    for r in rows:
+        if r["modality"] == "image":
+            expected = hashlib.md5(
+                originals[r["media_id"]] + b"64x48"
+            ).hexdigest().encode()
+            assert bytes(r["payload"]) == expected
+            assert (r["meta_width"], r["meta_height"]) == (64, 48)
+        else:  # audio/video untouched
+            assert bytes(r["payload"]) == originals[r["media_id"]]
+
+
+def test_resize_media_real_decode_raises(spark):
+    import pytest as _pytest
+
+    from webtext_extraction_spark.operators.multimodal import (
+        resize_media,
+        synth_media,
+    )
+
+    with _pytest.raises(Exception, match="NotImplementedError|real media resize"):
+        resize_media(synth_media(spark, n=2), decode_stub=False).collect()

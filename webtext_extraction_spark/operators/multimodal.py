@@ -109,6 +109,71 @@ def extract_media_features(df: DataFrame, decode_stub: bool = True) -> DataFrame
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+        StructField("meta_codec", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """mapInPandas image-resize plumbing: binary in → binary out with
+    updated dimension metadata, one output frame per Arrow batch
+    (constant memory per task).  A real implementation decodes with
+    PIL/ffmpeg, resizes, re-encodes; this container has neither, so
+    ``decode_stub=True`` produces a deterministic ASCII stand-in
+    (md5 hexdigest of payload + target dims — ASCII so the DuckDB
+    oracle can replay the derivation), and ``decode_stub=False``
+    raises where the decoder would plug in.  Non-image rows pass
+    through untouched (resize is an image/video-frame operation)."""
+
+    def run(batches):
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg — not available "
+                    "in this environment; run with decode_stub=True"
+                )
+            out_payloads = []
+            out_w, out_h = [], []
+            for payload, modality, w, h in zip(
+                pdf["payload"], pdf["modality"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                if modality == "image":
+                    digest = hashlib.md5(
+                        bytes(payload) + f"{target_width}x{target_height}".encode()
+                    ).hexdigest()
+                    out_payloads.append(digest.encode("ascii"))
+                    out_w.append(target_width)
+                    out_h.append(target_height)
+                else:
+                    out_payloads.append(bytes(payload))
+                    out_w.append(w)
+                    out_h.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out_payloads,
+                    "meta_width": pd.Series(out_w, dtype="int32"),
+                    "meta_height": pd.Series(out_h, dtype="int32"),
+                    "meta_codec": pdf["meta_codec"],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* plumbing: explodes a frame index per
     sampled frame (decode stubbed, indices real) — demonstrates the
