@@ -1,13 +1,18 @@
 """Deduplication operators for training-data pipelines.
 
-Four families, each a first-class DataFrame operator with a DuckDB
-oracle (see __spark_entry__):
+Each a first-class DataFrame operator with a DuckDB oracle
+(see __spark_entry__):
 
-- exact:     md5-groupBy duplicate clusters
-- minhash:   k-permutation MinHash + banded LSH candidate join,
-             verified with exact word-set Jaccard
-- simhash:   32-bit sign-of-weighted-sum fingerprint + hamming buckets
-- jaccard:   exact n-gram / word-set Jaccard for bounded pair sets
+- exact:       md5-groupBy duplicate clusters
+- minhash:     k-permutation MinHash + banded LSH candidate join,
+               verified with exact word-set Jaccard
+- simhash:     32-bit sign-of-weighted-sum fingerprint (single-pass
+               vote aggregate) + pigeonhole block-permutation pair
+               blocking (complete recall at the configured hamming)
+- jaccard:     exact n-gram / word-set Jaccard for bounded pair sets
+- boilerplate: cross-document repeated word-n-grams (doc frequencies)
+- resolution:  connected components over near-dup pairs → cluster
+               keepers (min-label propagation)
 
 Scale notes (the 100 TB story):
 - tokenization / signatures are per-row higher-order-function

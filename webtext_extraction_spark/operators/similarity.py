@@ -9,11 +9,17 @@
   is n/2^planes instead of n.  Plane weights are deterministic
   constants inlined into the plan (and into the DuckDB oracle), not
   runtime randomness.
+- ``ivf_ann_topk``: centroid-cell ANN — learned-geometry partition,
+  ``n_probe`` multi-probe fan-out, optional deterministic k-means
+  refinement (``kmeans_centroids``).
+- ``cosine_topk_int8``: int8-quantized candidate scan (4× smaller at
+  scale) + exact-float rerank of the shortlist.
 - ``embedding_near_duplicates``: cosine-threshold near-dup pairs
   within LSH buckets.
 
-All math is double-precision Spark expressions (zip_with + aggregate);
-cosines are rounded to 6 dp so oracle value-hashes match exactly.
+All math is double-precision Spark expressions (zip_with + aggregate)
+or exact integer arithmetic (int8 path); cosines are rounded to 6 dp
+so oracle value-hashes match exactly.
 """
 
 from __future__ import annotations
