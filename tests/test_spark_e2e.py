@@ -180,3 +180,40 @@ def test_resume_idempotent(spark, transcripts, tmp_path):
         assert r["rule_version"] and r["input_snapshot"]
     shutil.rmtree(single, ignore_errors=True)
     shutil.rmtree(phased, ignore_errors=True)
+
+
+def test_open_transcripts_formats_roundtrip(spark, transcripts, tmp_path):
+    from webtext_extraction_spark.sources.transcripts import open_transcripts
+
+    expected = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts.collect()
+    )
+    pq = str(tmp_path / "fmt_pq")
+    js = str(tmp_path / "fmt_js")
+    transcripts.write.parquet(pq)
+    transcripts.write.json(js)
+    for fmt, path in (("parquet", pq), ("json", js)):
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in open_transcripts(spark, path, fmt).collect()
+        )
+        assert got == expected, fmt
+    with pytest.raises(ValueError, match="unsupported transcripts format"):
+        open_transcripts(spark, pq, "avro")
+
+
+def test_audit_spans_flags_corruption(spark, transcripts):
+    from webtext_extraction_spark.operators.extraction import audit_spans, extract_turns
+
+    extracted = extract_turns(transcripts)
+    audit = audit_spans(extracted, transcripts)
+    counts = {r["span_ok"]: r["n"] for r in audit.groupBy("span_ok").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("mismatch", 0) == 0 and counts["ok"] == transcripts.count()
+
+    # corrupt the extracted text of every row -> every span set mismatches
+    broken = extracted.withColumn(
+        "extracted_text", F.concat(F.col("extracted_text"), F.lit("CORRUPTED"))
+    ).filter(F.length("extracted_text") > len("CORRUPTED"))
+    bad = audit_spans(broken, transcripts)
+    bad_counts = {r["span_ok"]: r["n"] for r in bad.groupBy("span_ok").agg(F.count("*").alias("n")).collect()}
+    assert bad_counts.get("ok", 0) == 0 and bad_counts["mismatch"] > 0

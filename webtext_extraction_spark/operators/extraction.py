@@ -183,6 +183,54 @@ def extract_turns(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
     return with_error_pattern_status(result)
 
 
+AUDIT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("span_ok", StringType()),
+    ]
+)
+
+
+def audit_spans(extracted: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Data-quality auditor: re-joins extraction output to its input
+    payloads and checks the span invariant row by row — the spans must
+    reconstruct ``extracted_text`` from the raw payload
+    (kernel/tracked.reconstruct).  Returns (conv_id, turn_idx,
+    span_ok ∈ {'ok','mismatch'}); run it after a production batch the
+    way the reference eyeballs its output files.  mapInPandas (Arrow
+    batches, constant memory per task); the join is on the carried
+    keys, co-located if both sides are bucketed on conv_id."""
+    joined = extracted.select(
+        "conv_id", "turn_idx", "extracted_text", "spans"
+    ).join(transcripts.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+
+    def run(batches):
+        from webtext_extraction_spark.kernel.tracked import reconstruct
+
+        for pdf in batches:
+            ok = []
+            for payload, text, spans in zip(pdf["text"], pdf["extracted_text"], pdf["spans"]):
+                try:
+                    span_dicts = [
+                        {"start": s["start"], "end": s["end"], "kind": s["kind"]}
+                        for s in spans
+                    ]
+                    good = reconstruct(payload or "", text or "", span_dicts) == (text or "")
+                except Exception:
+                    good = False
+                ok.append("ok" if good else "mismatch")
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"].astype("int32"),
+                    "span_ok": ok,
+                }
+            )
+
+    return joined.mapInPandas(run, AUDIT_SCHEMA)
+
+
 def renderable(df: DataFrame) -> DataFrame:
     """F5/F6 — rows that appear in rendered output: failure-template and
     error-pattern rows excluded, timeout rows KEPT (W:1628-1630, Q5)."""

@@ -102,3 +102,52 @@ def synth_transcripts(
         F.col("_p.tool").alias("tool"),
         "ts",
     )
+
+
+def open_transcripts(
+    spark: SparkSession,
+    path_or_table: str,
+    source_format: str = "parquet",
+) -> DataFrame:
+    """Open a transcripts table from any supported format, normalized
+    to the engine's canonical schema (casting where the format is
+    weaker — JSON/CSV carry no int32/timestamp types).
+
+    - ``parquet`` (default): plain directory read; column pruning and
+      predicate pushdown apply as usual.
+    - ``iceberg``: table identifier via the Iceberg catalog (the
+      production path; requires the Iceberg runtime jars — identical
+      plan downstream).
+    - ``json`` / ``csv``: migration-path ingestion; schema is enforced
+      on read (no runaway inference scans) and columns are cast to the
+      canonical types.
+    """
+    from webtext_extraction_spark.operators.extraction import TRANSCRIPT_SCHEMA
+
+    if source_format == "parquet":
+        df = spark.read.parquet(path_or_table)
+    elif source_format == "iceberg":
+        df = spark.read.format("iceberg").load(path_or_table)
+    elif source_format == "json":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path_or_table)
+    elif source_format == "csv":
+        df = (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path_or_table)
+        )
+    else:
+        raise ValueError(
+            f"unsupported transcripts format {source_format!r}; "
+            "expected parquet | iceberg | json | csv"
+        )
+    return df.select(
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("int"),
+        F.col("role").cast("string"),
+        F.col("text").cast("string"),
+        F.col("tool").cast("string"),
+        F.col("ts").cast("timestamp"),
+    )
