@@ -198,6 +198,18 @@ def test_open_transcripts_formats_roundtrip(spark, transcripts, tmp_path):
             for r in open_transcripts(spark, path, fmt).collect()
         )
         assert got == expected, fmt
+
+    # CSV: exact modulo the format's documented lossiness — empty
+    # string↔NULL ambiguity and control-character (NUL) stripping
+    cs = str(tmp_path / "fmt_cs")
+    transcripts.write.option("header", "true").option("escape", '"').csv(cs)
+    got_cs = sorted(
+        (r["conv_id"], r["turn_idx"], (r["text"] or ""))
+        for r in open_transcripts(spark, cs, "csv").collect()
+    )
+    normalized = [(c, t, x.replace("\x00", "")) for c, t, x in expected]
+    assert got_cs == normalized
+
     with pytest.raises(ValueError, match="unsupported transcripts format"):
         open_transcripts(spark, pq, "avro")
 

@@ -120,7 +120,11 @@ def open_transcripts(
       plan downstream).
     - ``json`` / ``csv``: migration-path ingestion; schema is enforced
       on read (no runaway inference scans) and columns are cast to the
-      canonical types.
+      canonical types.  CSV caveats (pinned by the roundtrip test):
+      the format cannot distinguish an empty string from NULL (empty
+      payloads arrive as NULL; the kernel treats both as empty), and
+      control characters like NUL do not survive — CSV is for
+      text-clean migration data; binary-ish payloads need parquet.
     """
     from webtext_extraction_spark.operators.extraction import TRANSCRIPT_SCHEMA
 
