@@ -131,35 +131,43 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    def best_of(fn, attempts=2):
+        # every leg best-of-2: single samples on this host catch
+        # multi-second hypervisor-steal spikes (observed a 3.6 s leg
+        # report 14 s with identical code)
+        best = None
+        for _ in range(attempts):
+            t0 = time.time()
+            fn()
+            elapsed = time.time() - t0
+            best = elapsed if best is None or elapsed < best else best
+        return best
+
     # the synthetic word-soup corpus is DEGENERATE for LSH: most doc
     # pairs genuinely exceed jaccard 0.7, so candidate verification is
     # inherently quadratic here (on real corpora LSH is sub-quadratic
     # because buckets are sparse).  Cap the input and say so in the
     # metric name (no silent caps).
     docs_capped = docs.filter(F.col("doc_id") < 300)
-    t0 = time.time()
-    dedup.minhash_lsh_pairs(
-        docs_capped, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
-    ).count()
-    timings["dedup_minhash_lsh_first300"] = time.time() - t0
-
-    t0 = time.time()
-    dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect()
-    timings["dedup_simhash"] = time.time() - t0
-
-    t0 = time.time()
-    textstats.text_profile(docs, "doc_id", "text").agg(
-        F.sum("fingerprint"), F.sum("ws_tokens")
-    ).collect()
-    timings["text_profile"] = time.time() - t0
-
-    t0 = time.time()
-    similarity.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
-    timings["sim_cosine_topk"] = time.time() - t0
-
-    t0 = time.time()
-    similarity.lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
-    timings["sim_lsh_ann_topk"] = time.time() - t0
+    timings["dedup_minhash_lsh_first300"] = best_of(
+        lambda: dedup.minhash_lsh_pairs(
+            docs_capped, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
+        ).count()
+    )
+    timings["dedup_simhash"] = best_of(
+        lambda: dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect()
+    )
+    timings["text_profile"] = best_of(
+        lambda: textstats.text_profile(docs, "doc_id", "text")
+        .agg(F.sum("fingerprint"), F.sum("ws_tokens"))
+        .collect()
+    )
+    timings["sim_cosine_topk"] = best_of(
+        lambda: similarity.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
+    )
+    timings["sim_lsh_ann_topk"] = best_of(
+        lambda: similarity.lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
+    )
 
     transcripts.unpersist()
     spark.stop()
