@@ -17,9 +17,8 @@ salting path.
 
 from __future__ import annotations
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
 from webtext_extraction_spark.fixtures_pages import bench_payload_for, payload_for
@@ -35,23 +34,28 @@ PAYLOAD_TYPE = StructType(
 _ROLES = ["user", "assistant", "tool"]
 
 
-def _payload_batch(conv_ids: pd.Series, turn_idxs: pd.Series, fn) -> pd.DataFrame:
-    texts, tools, roles = [], [], []
-    for conv_id, turn_idx in zip(conv_ids, turn_idxs):
+_PA_PAYLOAD_TYPE = pa.struct(
+    [("text", pa.string()), ("tool", pa.string()), ("role", pa.string())]
+)
+
+
+def _payload_batch(conv_ids: pa.Array, turn_idxs: pa.Array, fn) -> pa.Array:
+    # Arrow-native (same shape as the extraction UDF): pa.Array in/out,
+    # no pandas Series on either side
+    out = []
+    for conv_id, turn_idx in zip(conv_ids.to_pylist(), turn_idxs.to_pylist()):
         text, tool = fn(str(conv_id), int(turn_idx))
-        texts.append(text)
-        tools.append(tool)
-        roles.append(_ROLES[int(turn_idx) % 3])
-    return pd.DataFrame({"text": texts, "tool": tools, "role": roles})
+        out.append({"text": text, "tool": tool, "role": _ROLES[int(turn_idx) % 3]})
+    return pa.array(out, type=_PA_PAYLOAD_TYPE)
 
 
-@pandas_udf(PAYLOAD_TYPE)
-def payload_udf(conv_ids: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
+@F.arrow_udf(PAYLOAD_TYPE)
+def payload_udf(conv_ids: pa.Array, turn_idxs: pa.Array) -> pa.Array:
     return _payload_batch(conv_ids, turn_idxs, payload_for)
 
 
-@pandas_udf(PAYLOAD_TYPE)
-def bench_payload_udf(conv_ids: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
+@F.arrow_udf(PAYLOAD_TYPE)
+def bench_payload_udf(conv_ids: pa.Array, turn_idxs: pa.Array) -> pa.Array:
     return _payload_batch(conv_ids, turn_idxs, bench_payload_for)
 
 
