@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--write-partitions", type=int, default=None,
                         help="write-stage task count (decoupled from "
                              "--num-buckets; default 2 tasks/core)")
+    parser.add_argument("--audit", action="store_true",
+                        help="post-commit span-invariant audit over this "
+                             "run's output (adds span_ok/span_mismatch "
+                             "to the summary)")
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -91,6 +95,7 @@ def main(argv=None):
         input_snapshot=args.input_snapshot or (args.input or "synth"),
         site_rules=site_rules,
         write_partitions=args.write_partitions,
+        audit=args.audit,
     )
     print(f"extraction complete: {summary}")
     spark.stop()

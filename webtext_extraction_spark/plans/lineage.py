@@ -65,6 +65,7 @@ def run_extraction(
     input_snapshot: str = "unversioned",
     site_rules: dict | None = None,
     write_partitions: int | None = None,
+    audit: bool = False,
 ) -> dict:
     """Resumable bucketed extraction run.
 
@@ -77,6 +78,11 @@ def run_extraction(
     ``write_partitions`` sizes the write stage independently of
     ``num_buckets`` (default 2 tasks/core, floor = remaining buckets) —
     one-task-per-bucket would mean ~3 TB per write task at 100 TB.
+    ``audit=True`` re-verifies the span invariant over THIS run's
+    committed output against its input payloads (extraction.audit_spans)
+    and adds span_ok/span_mismatch counts to the returned summary —
+    the post-batch quality gate a production deployment schedules
+    after each commit.
     Returns summary counters.
     """
     data_path = os.path.join(output_path, DATA_DIR)
@@ -167,7 +173,21 @@ def run_extraction(
     lineage.write.mode("append").parquet(lineage_path)
 
     rows = out.count()
-    return {"buckets_done": len(remaining), "rows": rows}
+    summary = {"buckets_done": len(remaining), "rows": rows}
+
+    if audit:
+        from webtext_extraction_spark.operators.extraction import audit_spans
+
+        counts = {
+            r["span_ok"]: r["n"]
+            for r in audit_spans(out, batch)
+            .groupBy("span_ok")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        summary["span_ok"] = counts.get("ok", 0)
+        summary["span_mismatch"] = counts.get("mismatch", 0)
+    return summary
 
 
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
