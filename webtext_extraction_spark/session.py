@@ -5,11 +5,11 @@ chosen to survive a 1000-executor / 100 TB deployment:
 
 - AQE on (runtime coalesce + skew-join splitting) — the Spark-native
   answer to the reference's straggler problem (SURVEY.md §2.9).
-- Arrow batches capped at 1024 rows (bench-optimal for the KB-scale
-  fixture payloads; the Spark default 10k-row batches would hold
-  multi-MB Arrow buffers per python worker — SURVEY.md §4).  Jobs with
-  multi-MB payloads tune DOWN via SPARK_ARROW_BATCH_ROWS / extra_conf
-  (jobs/run_extract.py uses 256).
+- Arrow batches capped at 512 rows (measured optimum for the
+  arrow-native UDF on KB-scale fixture payloads; the Spark default
+  10k-row batches would hold multi-MB Arrow buffers per python worker
+  — SURVEY.md §4).  Jobs with multi-MB payloads tune DOWN via
+  SPARK_ARROW_BATCH_ROWS / extra_conf (jobs/run_extract.py uses 256).
 - shuffle partitions sized to cores locally; on a real cluster this is
   2-3× total executor cores (or left to AQE's coalescing).
 """
@@ -20,11 +20,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batch sizing rule: target ~1-32 MB per batch. 1024 rows fits
-# the KB-scale payloads of the fixture corpus; jobs processing multi-MB
-# payloads should tune this DOWN (256 or lower) to bound executor
-# python memory — override via get_spark(extra_conf=...).
-ARROW_BATCH_ROWS = int(os.environ.get("SPARK_ARROW_BATCH_ROWS", "1024"))
+# Arrow batch sizing rule: target ~1-8 MB per batch.  512 rows is the
+# measured optimum for the arrow-native UDF on KB-scale payloads
+# (interleaved sweep, 45k bench turns x 32 cores: 512 beat 1024 by
+# 5-8% in both adjacent pairs; 2048/4096 regress ~10%); jobs processing
+# multi-MB payloads should tune DOWN further (256 or lower) to bound
+# executor python memory — override via SPARK_ARROW_BATCH_ROWS or
+# get_spark(extra_conf=...).
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_ARROW_BATCH_ROWS", "512"))
 
 
 def get_spark(
