@@ -162,3 +162,24 @@ def test_depth_cap_interleaved_named_closes():
     main = dom.select("main")[0]
     assert "after" in main.get_text()
     assert "capped" in main.get_text()
+
+
+def test_depth_cap_fallthrough_clears_stale_overflow():
+    # ADVICE r02: an end tag that falls THROUGH overflow_tags to the
+    # real stack (</body> while capped <div>s are flattened) must clear
+    # the stale flattened opens — otherwise they later swallow
+    # legitimate </div> closes and post-body content mis-nests
+    from webtext_extraction_spark.html.dom import parse
+
+    deep = (
+        "<html><body>"
+        + "<div>" * 600  # > MAX_DEPTH: innermost opens flatten
+        + "inner"
+        + "</body>"  # falls through to the real stack
+        + "<div>x</div>ZTAIL</html>"
+    )
+    dom = parse(deep)
+    post = [d for d in dom.select("div") if d.get_text() == "x"]
+    assert post, "post-body <div>x</div> must parse as its own element"
+    # ZTAIL is a SIBLING of that div, not swallowed inside it
+    assert "ZTAIL" not in post[0].get_text()

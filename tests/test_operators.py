@@ -169,6 +169,88 @@ def test_connected_components_chains_and_singletons(spark):
     assert all(v == 0 for v in cc.values())
 
 
+def test_connected_components_warns_when_unconverged(spark):
+    """ADVICE r02: hitting max_iterations with labels still moving must
+    warn, not silently return split clusters."""
+    import warnings
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(31)], ["node"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = dedup.connected_components(chain, nodes, max_iterations=3)
+        got.collect()
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_connected_components_check_every_still_converges(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], ["node"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes, check_every=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_long_path(spark):
+    """VERDICT r02 #4: a path graph LONGER than 2× the min-label default
+    round budget resolves correctly (and in O(log n) rounds) under the
+    large/small-star variant."""
+    n = 50  # diameter 50 > 2 × 20 default rounds of min-label
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], ["node"])
+    cc = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(
+            chain, nodes, max_iterations=12
+        ).collect()
+    }
+    assert len(cc) == n + 1
+    assert all(v == 0 for v in cc.values())
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Star and min-label agree on a mixed graph (cliques + chain +
+    singletons), including node ids that never appear in pairs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (7, 7)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 7, 10, 11, 20, 21)], ["node"]
+    )
+    star = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(pairs, nodes).collect()
+    }
+    label = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert star == label
+    assert star[5] == 5 and star[7] == 7  # singleton + self-loop
+
+
+def test_simhash_bits_forwarded(spark):
+    """ADVICE r02: the bits parameter must reach with_simhash — a
+    48-bit run produces fingerprints that need >32 bits, and bits>63
+    is rejected."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    sh48 = dedup.with_simhash(df, "text", bits=48).select("simhash").collect()
+    assert any(r["simhash"] >= (1 << 32) for r in sh48)
+    # pairs path forwards bits: runs clean and self-consistently
+    pairs = dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=2, bits=48)
+    for r in pairs.collect():
+        assert r["hamming"] <= 2
+    with _pytest.raises(ValueError, match="bits"):
+        dedup.with_simhash(df, "text", bits=64)
+
+
 def test_exact_duplicates(docs_df):
     clusters = dedup.exact_duplicates(docs_df, "doc_id", "text").collect()
     assert len(clusters) == 1
@@ -370,14 +452,29 @@ def test_frame_sample_plan_shape(spark):
         synth_media,
     )
 
+    import pytest as _pytest
+
     media = synth_media(spark, n=12)
-    frames = frame_sample_plan(media, every_n=5)
-    rows = frames.collect()
+    rows = frame_sample_plan(media, every_n=5).collect()
     assert all(r["sample_every"] == 5 for r in rows)
-    # only video rows fan out, 4 frame indices each
-    n_videos = media.filter("modality = 'video'").count()
-    assert len(rows) == n_videos * 4
-    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+    # only video rows fan out; every 5th frame of each video's duration
+    durations = {
+        r["media_id"]: r["meta_duration_frames"]
+        for r in media.filter("modality = 'video'").collect()
+    }
+    expected = {
+        (mid, f) for mid, dur in durations.items() for f in range(0, dur, 5)
+    }
+    assert {(r["media_id"], r["frame_idx"]) for r in rows} == expected
+
+    # every_n is LOAD-BEARING: halving the stride ~doubles the fan-out
+    # (VERDICT r02 #3)
+    n10 = frame_sample_plan(media, every_n=10).count()
+    n5 = len(rows)
+    assert n5 > n10
+    assert n10 == sum(len(range(0, d, 10)) for d in durations.values())
+    with _pytest.raises(ValueError, match="every_n"):
+        frame_sample_plan(media, every_n=0)
 
 
 def test_null_and_empty_payloads(spark):
@@ -426,3 +523,43 @@ def test_resize_media_real_decode_raises(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|real media resize"):
         resize_media(synth_media(spark, n=2), decode_stub=False).collect()
+
+
+def _toy_decoder(payload, modality):
+    # module-level so the closure pickles to executors
+    return [float(len(payload)), float(len(modality)), 0.5]
+
+
+def _toy_resizer(payload, tw, th):
+    return payload[:4] + f"|{tw}x{th}".encode()
+
+
+def test_multimodal_decoder_seam(spark):
+    """VERDICT r02 #7: a real decoder plugs in via the decoder seam —
+    decode_stub=False works WITH a decoder, and the NotImplementedError
+    path is only reachable when no decoder is supplied."""
+    from webtext_extraction_spark.operators.multimodal import (
+        extract_media_features,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=6)
+    rows = extract_media_features(
+        media, decode_stub=False, decoder=_toy_decoder
+    ).collect()
+    assert len(rows) == 6
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in rows:
+        assert r["feature"] == [
+            float(len(originals[r["media_id"]])), float(len(r["modality"])), 0.5
+        ]
+
+    resized = resize_media(
+        media, target_width=32, target_height=16, decode_stub=False, resizer=_toy_resizer
+    ).collect()
+    for r in resized:
+        if r["modality"] == "image":
+            assert bytes(r["payload"]) == originals[r["media_id"]][:4] + b"|32x16"
+        else:
+            assert bytes(r["payload"]) == originals[r["media_id"]]

@@ -100,6 +100,51 @@ def test_pipeline_auto_shuffles_under_skew(spark):
     assert "Exchange" in plan
 
 
+def test_pipeline_honors_explicit_num_partitions_without_skew(spark, tmp_path):
+    """ADVICE r02: an explicitly passed num_partitions must size the
+    extraction stage even when the probe finds no skew (only
+    num_partitions=None gets the shuffle-free fast path)."""
+    from webtext_extraction_spark.plans.pipeline import extraction_pipeline
+
+    path = str(tmp_path / "t5")
+    synth_transcripts(spark, num_conversations=30).write.parquet(path)
+    flat = spark.read.parquet(path)
+
+    sized = extraction_pipeline(flat, num_partitions=5)
+    assert "Exchange" in _plan(sized)
+    assert sized.rdd.getNumPartitions() == 5
+
+
+def test_warm_stats_probe_never_reads_payload(spark, tmp_path):
+    """Warm re-run: hot keys come from the previous run's committed
+    payload_bytes column — the probe plan's ReadSchema must not contain
+    the text column, and it must find the same hot key the cold probe
+    finds (VERDICT r02 #2)."""
+    from webtext_extraction_spark.operators.partitioning import detect_hot_keys
+    from webtext_extraction_spark.plans.lineage import run_extraction, warm_key_stats
+
+    rows = [(f"c{i}", 0, "user", "x" * 50, "fetch", None) for i in range(40)]
+    rows += [("hot", t, "user", "y" * 60000, "fetch", None) for t in range(6)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path / "warm")
+    run_extraction(spark, df, out, num_buckets=4, input_snapshot="snapW")
+
+    assert warm_key_stats(spark, out, "other-snap") is None
+    stats = warm_key_stats(spark, out, "snapW")
+    assert stats is not None
+
+    # the probe's scan is column-pruned to (conv_id, payload_bytes)
+    per_key = stats.groupBy("conv_id").agg(F.sum("payload_bytes").alias("b"))
+    read_schema = _plan(per_key).split("ReadSchema")[1].split("\n")[0]
+    assert "payload_bytes" in read_schema and "text" not in read_schema
+
+    assert detect_hot_keys(stats, bytes_col="payload_bytes") == ["hot"]
+    assert detect_hot_keys(df) == ["hot"]  # cold probe agrees
+
+
 def test_boilerplate_ngrams_partial_aggregation(spark, tmp_path):
     """explode → groupBy must keep the map-side partial aggregate
     (two HashAggregate nodes) and prune unused columns from the scan."""

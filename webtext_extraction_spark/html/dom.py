@@ -305,6 +305,11 @@ class _TreeBuilder(HTMLParser):
         # pop to the most recent matching open tag; ignore strays
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == tag:
+                # every flattened open is logically ABOVE any real-stack
+                # element: closing a real element closes them all, so a
+                # stale overflow entry must not swallow a later legitimate
+                # close (ADVICE r02)
+                self.overflow_tags.clear()
                 del self.stack[i:]
                 break
 

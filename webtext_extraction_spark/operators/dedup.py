@@ -163,6 +163,8 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     per-bit vote counters (the previous shape ran ``bits`` independent
     aggregate passes — 32× the work); the finish lambda assembles the
     fingerprint.  Pure expressions, no shuffle, no Python."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63] (bigint fingerprint), got {bits}")
     hashes = F.transform(word_set(F.col(text_col)), lambda w: portable_hash64(w))
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
@@ -216,7 +218,9 @@ def simhash_near_duplicates(
     shrink ~2^-width-fold, so the join is never all-pairs; raising
     ``max_hamming`` trades narrower blocks (more candidates) for the
     recall guarantee, which is the standard cost of the pigeonhole."""
-    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    sh = with_simhash(df, text_col, bits=bits).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
     banded = sh.select(
         "_id",
         "simhash",
@@ -331,6 +335,7 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "node",
     max_iterations: int = 20,
+    check_every: int = 1,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over a
     near-dup pair table → (node, component) where component = the
@@ -339,14 +344,20 @@ def connected_components(
 
     Algorithm: min-label propagation — every node starts labeled with
     itself; each round takes the min of its own label and its
-    neighbors' labels; converges in O(graph diameter) rounds (checked
-    on the driver via a changed-row count, bounded by
-    ``max_iterations``).  Each round is one shuffle on the edge key;
-    ``localCheckpoint`` truncates the growing plan lineage.  Near-dup
-    graphs are overwhelmingly tiny cliques (diameter 1-2), so this
-    terminates in 2-3 rounds in practice; at adversarial scale the
-    standard upgrade is alternating large-star/small-star (Kiveris et
-    al.), same join shape."""
+    neighbors' labels; converges in O(graph diameter) rounds, bounded
+    by ``max_iterations``.  The driver-side convergence count runs only
+    every ``check_every`` rounds (each check is one extra job — at
+    check_every=2 half the probe jobs for at most one surplus round).
+    Each round is one shuffle on the edge key; ``localCheckpoint``
+    truncates the growing plan lineage.  Near-dup graphs are
+    overwhelmingly tiny cliques (diameter 1-2), so this terminates in
+    2-3 rounds in practice; for adversarial high-diameter graphs use
+    ``connected_components_star`` (O(log²) rounds).
+
+    Warns (and still returns the partial labels) if ``max_iterations``
+    rounds end while labels are still changing — silent truncation
+    would split one cluster into several keepers with no signal
+    (ADVICE r02)."""
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -358,7 +369,8 @@ def connected_components(
         F.col(node_col).cast("long").alias("node")
     ).withColumn("label", F.col("node"))
 
-    for _ in range(max_iterations):
+    converged = False
+    for i in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -374,17 +386,130 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if (i + 1) % check_every == 0 or i == max_iterations - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the budget); labels are "
+            "PARTIAL — clusters may be split across several keepers. "
+            "Raise max_iterations or use connected_components_star.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node u connects each STRICTLY LARGER
+    neighbor to m(u) = min(N(u) ∪ {u}).  Keeps edges oriented
+    (src > dst after the round)."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward the larger node,
+    then every node u connects its smaller-or-equal neighbors (and
+    itself) to m(u) = min of that neighborhood."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(mins, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        joined.select("src", F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al.) — the adversarial-graph upgrade over min-label
+    propagation: converges in O(log² n) rounds regardless of diameter
+    (a path graph of length 10⁶ resolves in ~20 rounds where label
+    propagation needs 10⁶).  Same equi-join + groupBy shuffle shape per
+    round, no driver-side per-round data; convergence is detected from
+    a 2-number edge signature (count + hash-sum) per round pair.
+
+    Returns (node, component) with component = min node id of the
+    cluster, identical contract to ``connected_components``."""
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        # per-edge hash reduced to [0, 2^31) so the sum stays exact in
+        # ANSI long arithmetic up to 2^32 edges
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1 << 31))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sig = signature(edges)
+    converged = False
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = signature(edges)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds; labels may be partial.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # at convergence every edge points a node at its component min
+    labels = edges.groupBy("src").agg(F.min("dst").alias("component"))
+    return (
+        nodes.select(F.col(node_col).cast("long").alias("node"))
+        .join(labels, F.col("node") == F.col("src"), "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
 
 
 def ordered_distinct(df: DataFrame, key: str, order: str) -> DataFrame:

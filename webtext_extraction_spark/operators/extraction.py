@@ -181,6 +181,12 @@ def extract_turns(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
     """transcripts → extraction results; stable (conv_id, turn_idx) keys
     carried through (J1 made unnecessary — SURVEY.md §2.3).
 
+    Any EXTRA input columns (beyond the transcript schema) are carried
+    through unchanged — the payload column ``text`` is the only one
+    consumed.  ``run_extraction`` relies on this to carry its ``bucket``
+    and ``payload_bytes`` lineage columns through the UDF projection so
+    the 100 TB payload column is scanned exactly once per run.
+
     ``site_rules`` ships a runtime per-site selector table to the
     executors via broadcast; None uses the built-in rules module."""
     udf = (
@@ -188,13 +194,10 @@ def extract_turns(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
         if site_rules is not None
         else extract_udf
     )
+    carried = [c for c in df.columns if c != "text"]
     result = df.withColumn("_ex", udf(F.col("text"), F.col("tool")))
     result = result.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        "ts",
+        *carried,
         F.col("_ex.extracted_text").alias("extracted_text"),
         F.col("_ex.spans").alias("spans"),
         F.col("_ex.strategy").alias("strategy"),

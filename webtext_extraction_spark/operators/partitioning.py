@@ -29,9 +29,19 @@ def detect_hot_keys(
     threshold_bytes: int | None = None,
     skew_factor: float = 8.0,
     sample_fraction: float | None = None,
+    bytes_col: str | None = None,
 ) -> list[str]:
-    """conv_ids whose total payload bytes exceed skew_factor × mean."""
-    scan = df.select(key, F.length(F.col(payload)).alias("_bytes"))
+    """conv_ids whose total payload bytes exceed skew_factor × mean.
+
+    ``bytes_col`` names an ALREADY-COMPUTED per-row byte count (e.g.
+    ``payload_bytes`` from a prior run's output via
+    ``lineage.warm_key_stats``): the probe then never touches the
+    payload column — a column-pruned two-slim-column scan instead of a
+    sampled pass over 100 TB of text."""
+    if bytes_col is not None:
+        scan = df.select(key, F.col(bytes_col).alias("_bytes"))
+    else:
+        scan = df.select(key, F.length(F.col(payload)).alias("_bytes"))
     if sample_fraction is not None:
         scan = scan.sample(fraction=sample_fraction, seed=42)
     per_key = scan.groupBy(key).agg(F.sum("_bytes").alias("_key_bytes"))

@@ -13,7 +13,12 @@ Reference analogue: the completed_folder membership checkpoint
 - a lineage row (bucket, rows, bytes_in, bytes_out, status counts,
   rule_version) is appended only AFTER the bucket's data commit — the
   two-phase order that makes kill/rerun safe: a bucket with data but
-  no lineage row is simply redone.
+  no lineage row is simply redone;
+- the payload column is scanned exactly ONCE per run: input accounting
+  (payload_bytes = length(text)) rides through the extraction
+  projection and the phase-2 rollup reads only the committed output.
+  The persisted payload_bytes column doubles as the warm-run skew
+  probe (``warm_key_stats``).
 
 Storage is parquet directories (this sandbox has no Iceberg jars); the
 layout maps 1:1 onto an Iceberg table with ``bucket(conv_id)``
@@ -112,20 +117,16 @@ def run_extraction(
     if not remaining:
         return {"buckets_done": 0, "rows": 0}
 
-    batch = src.filter(F.col("bucket").isin(remaining))
-    # per-bucket input accounting (bytes processed — north-rule lineage)
-    input_stats = {
-        r["bucket"]: (r["rows_in"], r["bytes_in"])
-        for r in batch.groupBy("bucket")
-        .agg(
-            F.count("*").alias("rows_in"),
-            F.sum(F.length("text")).alias("bytes_in"),
-        )
-        .collect()
-    }
-    extracted = extract_turns(batch.drop("bucket"), site_rules=site_rules).withColumn(
-        "bucket", bucket_id(F.col("conv_id"), num_buckets)
+    # Input accounting rides WITH the extraction projection (one long per
+    # row): the payload column is scanned exactly ONCE per run — the
+    # phase-2 rollup derives rows_in/bytes_in from the committed output
+    # (extraction is 1:1 per turn) instead of a second full-payload
+    # aggregate action.  payload_bytes also persists in the output table,
+    # which gives warm re-runs a free skew probe (warm_key_stats).
+    batch = src.filter(F.col("bucket").isin(remaining)).withColumn(
+        "payload_bytes", F.length("text")
     )
+    extracted = extract_turns(batch, site_rules=site_rules)
 
     # phase 1 — data commit (dynamic partition overwrite = idempotent
     # redo).  Write parallelism is DECOUPLED from bucket count: the
@@ -149,14 +150,11 @@ def run_extraction(
 
     # phase 2 — lineage commit (append AFTER data is down).  Row shape
     # per north rule: (bucket, input snapshot id, row counts, bytes
-    # processed, extraction-rule version)
+    # processed, extraction-rule version).  rows_in/bytes_in come from
+    # the committed output (extraction is strictly 1:1 per turn and
+    # payload_bytes was carried through), so this rollup never touches
+    # the input table.
     out = spark.read.parquet(data_path).filter(F.col("bucket").isin(remaining))
-    in_rows = F.create_map(
-        *[F.lit(x) for kv in input_stats.items() for x in (kv[0], kv[1][0])]
-    )
-    in_bytes = F.create_map(
-        *[F.lit(x) for kv in input_stats.items() for x in (kv[0], kv[1][1])]
-    )
     lineage = (
         out.groupBy("bucket")
         .agg(
@@ -164,11 +162,15 @@ def run_extraction(
             F.sum(F.length("extracted_text")).alias("bytes_out"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_ok"),
             F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("rows_not_ok"),
+            F.sum("payload_bytes").alias("bytes_in"),
         )
-        .withColumn("rows_in", in_rows[F.col("bucket")])
-        .withColumn("bytes_in", in_bytes[F.col("bucket")])
+        .withColumn("rows_in", F.col("rows"))
         .withColumn("rule_version", F.lit(rules.RULE_VERSION))
         .withColumn("input_snapshot", F.lit(input_snapshot))
+        .select(
+            "bucket", "rows", "bytes_out", "rows_ok", "rows_not_ok",
+            "rows_in", "bytes_in", "rule_version", "input_snapshot",
+        )
     )
     lineage.write.mode("append").parquet(lineage_path)
 
@@ -188,6 +190,27 @@ def run_extraction(
         summary["span_ok"] = counts.get("ok", 0)
         summary["span_mismatch"] = counts.get("mismatch", 0)
     return summary
+
+
+def warm_key_stats(
+    spark: SparkSession, output_path: str, input_snapshot: str
+) -> DataFrame | None:
+    """(conv_id, payload_bytes) from a PREVIOUS committed run over the
+    same input snapshot — lets a warm re-run probe for hot keys without
+    reading the payload column at all (VERDICT r02 #2: at 100 TB the
+    cold probe's sample still touches every row-group of ``text``; the
+    warm probe reads two slim columns of the output table instead).
+
+    Returns None when no lineage exists for this snapshot or the output
+    predates the payload_bytes column; callers fall back to the cold
+    probe.  Partial prior runs are fine — byte skew per key is stable
+    under per-bucket subsetting the same way it is under sampling."""
+    if input_snapshot not in lineage_snapshots(spark, output_path):
+        return None
+    out = spark.read.parquet(os.path.join(output_path, DATA_DIR))
+    if "payload_bytes" not in out.columns:
+        return None
+    return out.select("conv_id", "payload_bytes")
 
 
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:

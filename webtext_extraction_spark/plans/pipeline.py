@@ -36,6 +36,7 @@ def extraction_pipeline(
     num_partitions: int | None = None,
     salt_hot_keys: bool | str = "auto",
     hot_sample_fraction: float = 0.1,
+    warm_stats: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship plan.  Ordering is NOT forced here (keys travel with
     every row); callers that need the stable output order add
@@ -47,16 +48,31 @@ def extraction_pipeline(
     - ``True``: always repartition (salting any detected hot keys) —
       for inputs known to be skewed or pathologically split.
     - ``False``: never probe, never shuffle.
+
+    An EXPLICIT ``num_partitions`` is always honored: with no detected
+    skew the stage is still repartitioned (unsalted, conv_id-keyed) to
+    that size — only ``num_partitions=None`` lets the no-skew path run
+    on raw scan splits.
+
+    ``warm_stats``: a (conv_id, payload_bytes) DataFrame from a prior
+    committed run (``lineage.warm_key_stats``); when given, the probe
+    aggregates those precomputed byte counts instead of scanning the
+    payload column — the 100 TB warm-run path.
     """
     hot = None
     if salt_hot_keys is True or salt_hot_keys == "auto":
-        hot = detect_hot_keys(transcripts, sample_fraction=hot_sample_fraction)
+        if warm_stats is not None:
+            hot = detect_hot_keys(warm_stats, bytes_col="payload_bytes")
+        else:
+            hot = detect_hot_keys(transcripts, sample_fraction=hot_sample_fraction)
     if hot or salt_hot_keys is True:
         if num_partitions is None:
             # 3 tasks per core: fine-grained tasks smooth stragglers (hot
             # pages cost ~10× a normal page even after salting)
             num_partitions = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
         balanced = salted_repartition(transcripts, num_partitions, hot_keys=hot)
+    elif num_partitions is not None:
+        balanced = salted_repartition(transcripts, num_partitions, hot_keys=None)
     else:
         balanced = transcripts
     return extract_turns(balanced)
