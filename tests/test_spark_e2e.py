@@ -103,6 +103,39 @@ def test_render_excludes_failures_keeps_timeouts(extracted):
         assert "（テキスト抽出タイムアウト）" in text  # Q5: kept in body
 
 
+def test_render_q8_header_matches_golden(extracted):
+    """Q8 (VERDICT r02 #6): source banner + filtered URL list + exactly
+    five newlines before the first record, byte-equal to the committed
+    reference-shape golden (tests/gen_render_golden.py)."""
+    import pathlib
+
+    golden = (
+        pathlib.Path(__file__).parent / "goldens" / "render_q8.txt"
+    ).read_text(encoding="utf-8")
+    text = render_extracted(extracted, source_name="google")
+    assert text == golden
+
+    # structure spot-checks: banner is 62 chars of name+'=', URL list
+    # ends with exactly 5 newlines before the next section
+    assert text.startswith("google" + "=" * 56 + "\n\n")
+    head, _, _rest = text.partition("\n\n\n\n\n")
+    assert "\n\n\n\n\n\n" not in head + "\n\n\n\n\n"
+    # excluded rows' urls are absent from the header list
+    excl = extracted.filter(
+        F.col("status").isin("failure_template", "error_pattern")
+        & F.col("url").isNotNull()
+    ).select("url").distinct().collect()
+    assert excl, "fixture must contain excluded rows with urls"
+    header_urls = set(head.split("\n\n", 1)[1].split("\n"))
+    for r in excl:
+        assert r["url"] not in header_urls
+
+    yahoo = render_extracted(extracted, source_name="yahoo")
+    assert yahoo.startswith("yahoo" + "=" * 57 + "\n\n")
+    with pytest.raises(ValueError, match="source_name"):
+        render_extracted(extracted, source_name="bing")
+
+
 def test_resume_detects_changed_input_snapshot(spark, transcripts, tmp_path):
     """A resume handed a different input_snapshot must raise, not mix
     two input versions into one output (lineage.run_extraction)."""
@@ -180,6 +213,32 @@ def test_resume_idempotent(spark, transcripts, tmp_path):
         assert r["rule_version"] and r["input_snapshot"]
     shutil.rmtree(single, ignore_errors=True)
     shutil.rmtree(phased, ignore_errors=True)
+
+
+def test_resume_broadcast_anti_join_at_high_bucket_counts(spark, transcripts, tmp_path):
+    """VERDICT r02 #9: above isin_max_literals the completed-bucket
+    filter is a broadcast left_anti join, not a giant isin literal —
+    and resume at 4096 buckets still completes idempotently."""
+    out = str(tmp_path / "hibuck")
+    # force the anti-join path with a tiny threshold
+    r1 = run_extraction(
+        spark, transcripts, out, num_buckets=4096, buckets_per_commit=5,
+        isin_max_literals=0,
+    )
+    assert r1["buckets_done"] == 5
+    r2 = run_extraction(
+        spark, transcripts, out, num_buckets=4096, isin_max_literals=0
+    )
+    total_buckets = (
+        transcripts.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(4096)).cast("int").alias("b")
+        ).distinct().count()
+    )
+    assert r1["buckets_done"] + r2["buckets_done"] == total_buckets
+    rows = read_output(spark, out).select("conv_id", "turn_idx").collect()
+    assert len(rows) == transcripts.count()
+    assert len(set(rows)) == len(rows)
+    shutil.rmtree(out, ignore_errors=True)
 
 
 def test_lineage_accounting_derived_from_output(spark, transcripts, tmp_path):

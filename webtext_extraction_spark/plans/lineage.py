@@ -71,6 +71,7 @@ def run_extraction(
     site_rules: dict | None = None,
     write_partitions: int | None = None,
     audit: bool = False,
+    isin_max_literals: int = 256,
 ) -> dict:
     """Resumable bucketed extraction run.
 
@@ -88,6 +89,9 @@ def run_extraction(
     and adds span_ok/span_mismatch counts to the returned summary —
     the post-batch quality gate a production deployment schedules
     after each commit.
+    ``isin_max_literals`` caps the completed-bucket isin literal: above
+    it the resume filter becomes a broadcast left_anti join (constant
+    plan size at 10³-10⁴ buckets).
     Returns summary counters.
     """
     data_path = os.path.join(output_path, DATA_DIR)
@@ -105,9 +109,18 @@ def run_extraction(
     done = completed_buckets(spark, output_path)
     src = transcripts.withColumn("bucket", bucket_id(F.col("conv_id"), num_buckets))
     if done:
-        # tiny list → literal isin beats a shuffle anti-join; at larger
-        # bucket counts this becomes a broadcast left_anti join
-        src = src.filter(~F.col("bucket").isin(done))
+        if len(done) <= isin_max_literals:
+            # tiny list → literal isin beats any join
+            src = src.filter(~F.col("bucket").isin(done))
+        else:
+            # thousands of buckets: a giant isin literal bloats the plan
+            # (codegen over 10³+ comparisons per row); broadcast
+            # left_anti keeps the plan constant-size and the join
+            # map-side (VERDICT r02 #9)
+            done_df = spark.createDataFrame(
+                [(int(b),) for b in done], "bucket int"
+            )
+            src = src.join(F.broadcast(done_df), "bucket", "left_anti")
 
     remaining = sorted(
         r[0] for r in src.select("bucket").distinct().collect()

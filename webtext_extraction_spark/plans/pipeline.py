@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from webtext_extraction_spark.operators.extraction import extract_turns, renderable
+from webtext_extraction_spark.operators.extraction import extract_turns
 from webtext_extraction_spark.operators.partitioning import (
     detect_hot_keys,
     salted_repartition,
@@ -91,19 +91,48 @@ def extraction_summary(extracted: DataFrame) -> DataFrame:
     )
 
 
-def render_extracted(extracted: DataFrame, limit: int = 10000) -> str:
+def render_extracted(
+    extracted: DataFrame, limit: int = 10000, source_name: str | None = None
+) -> str:
     """S9/S10 — the reference's extracted-text file shape: per-record
     ``url\\ntext`` blocks with blank-line separators, failure rows
     excluded, timeout rows kept and surfaced in a warning header
     (integrated.py:19-51).  Driver-side by design (golden tests only).
+
+    ``source_name`` ∈ {"google", "yahoo"} additionally reproduces the
+    reference's output-file header (quirk Q8, save_results
+    W:1660-1726): the source banner (name padded with '=' to 62 chars
+    + blank line) followed by the input URL list MINUS the
+    filtered-out URLs, then exactly five newlines before the first
+    record.  Here the "input URL list" is the batch's URLs in stable
+    (conv_id, turn_idx) order; the exclusions are the
+    failure_template/error_pattern rows the renderer drops.
     """
-    rows = (
-        renderable(extracted)
-        .orderBy("conv_id", "turn_idx")
+    all_rows = (
+        extracted.orderBy("conv_id", "turn_idx")
         .select("conv_id", "turn_idx", "url", "extracted_text", "status")
         .limit(limit)
         .collect()
     )
+    excluded_statuses = {"failure_template", "error_pattern"}
+    rows = [r for r in all_rows if r["status"] not in excluded_statuses]
+
+    q8_header = ""
+    if source_name is not None:
+        if source_name not in ("google", "yahoo"):
+            raise ValueError(
+                f"source_name must be 'google' or 'yahoo', got {source_name!r}"
+            )
+        banner = source_name + "=" * (62 - len(source_name)) + "\n\n"
+        excluded_urls = {
+            r["url"] for r in all_rows if r["status"] in excluded_statuses and r["url"]
+        }
+        url_list = []
+        for r in all_rows:
+            if r["url"] and r["url"] not in excluded_urls and r["url"] not in url_list:
+                url_list.append(r["url"])
+        # filtered list + exactly 5 newlines (W:1700)
+        q8_header = banner + "\n".join(url_list) + "\n\n\n\n\n"
     timeout_urls = [
         r["url"] or f"{r['conv_id']}#{r['turn_idx']}"
         for r in rows
@@ -120,5 +149,5 @@ def render_extracted(extracted: DataFrame, limit: int = 10000) -> str:
             + "\n".join(timeout_urls)
             + "\n\n\n"
         )
-        return header + body
-    return body
+        return q8_header + header + body
+    return q8_header + body
