@@ -115,6 +115,34 @@ def test_pipeline_honors_explicit_num_partitions_without_skew(spark, tmp_path):
     assert sized.rdd.getNumPartitions() == 5
 
 
+def test_pipeline_auto_repartitions_heavy_rows_without_skew(spark):
+    """Heavy-row regime: uniform ~200 KB payloads (zero key skew) must
+    still buy the fine-grained repartition — per-row CPU follows
+    payload bytes, so scan splits are too coarse (bench_heavy)."""
+    from webtext_extraction_spark.plans.pipeline import extraction_pipeline
+
+    rows = [(f"c{i}", 0, "user", "x" * 200_000, "fetch", None) for i in range(40)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(extraction_pipeline(df, hot_sample_fraction=None))
+    assert "Exchange" in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_probe_payload_stats_reports_both_regimes(spark):
+    from webtext_extraction_spark.operators.partitioning import probe_payload_stats
+
+    rows = [(f"c{i}", t, "x" * 100) for i in range(50) for t in range(4)]
+    rows += [("hot", t, "y" * 40000) for t in range(8)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    stats = probe_payload_stats(df)
+    assert stats["hot_keys"] == ["hot"]
+    # mean row bytes = (200*100 + 8*40000) / 208
+    assert abs(stats["mean_row_bytes"] - (200 * 100 + 8 * 40000) / 208) < 1e-6
+
+
 def test_warm_stats_probe_never_reads_payload(spark, tmp_path):
     """Warm re-run: hot keys come from the previous run's committed
     payload_bytes column — the probe plan's ReadSchema must not contain

@@ -97,7 +97,23 @@ def _extract_batch(
     # imported inside so the python worker resolves them after fork
     from webtext_extraction_spark.kernel.extract import derive_url_and_domain, extract_payload
 
-    out = []
+    # Results are assembled COLUMNAR-NATIVELY: flat python lists →
+    # pa.ListArray/StructArray.from_arrays.  The obvious
+    # list-of-dicts → pa.array shape allocates one dict PER SPAN —
+    # a heavy page carries ~9k spans, so a 26-row batch of 0.7 MB
+    # pages built ~7M short-lived dicts, and CPython's gen-2 GC
+    # rescanning millions of live objects dominated the batch (2-6×
+    # wall-clock swings at local[32], scripts/bench_heavy.py).  Flat
+    # lists keep the object count O(rows + spans) primitives.
+    ex_texts: list = []
+    strategies: list = []
+    statuses: list = []
+    urls: list = []
+    domains: list = []
+    span_offsets = [0]
+    starts: list = []
+    ends: list = []
+    kinds: list = []
     for payload, tool in zip(texts.to_pylist(), tools.to_pylist()):
         if not isinstance(payload, str):
             payload = ""
@@ -105,19 +121,45 @@ def _extract_batch(
             tool = ""
         result = extract_payload(payload, tool, site_rules)
         url, domain = derive_url_and_domain(payload)
-        out.append(
-            {
-                "extracted_text": result.text,
-                "spans": [
-                    {"start": s[0], "end": s[1], "kind": s[2]} for s in result.spans
-                ],
-                "strategy": result.strategy,
-                "status": result.status,
-                "url": url,
-                "domain": domain,
-            }
-        )
-    return pa.array(out, type=_PA_RESULT_TYPE)
+        ex_texts.append(result.text)
+        strategies.append(result.strategy)
+        statuses.append(result.status)
+        urls.append(url)
+        domains.append(domain)
+        for s in result.spans:
+            starts.append(s[0])
+            ends.append(s[1])
+            kinds.append(s[2])
+        span_offsets.append(len(starts))
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(span_offsets, type=pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(starts, type=pa.int32()),
+                pa.array(ends, type=pa.int32()),
+                pa.array(kinds, type=pa.string()),
+            ],
+            names=["start", "end", "kind"],
+        ),
+    )
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(ex_texts, type=pa.string()),
+            spans_arr,
+            pa.array(strategies, type=pa.string()),
+            pa.array(statuses, type=pa.string()),
+            pa.array(urls, type=pa.string()),
+            pa.array(domains, type=pa.string()),
+        ],
+        names=[
+            "extracted_text",
+            "spans",
+            "strategy",
+            "status",
+            "url",
+            "domain",
+        ],
+    )
 
 
 @F.arrow_udf(EXTRACT_RESULT_TYPE)

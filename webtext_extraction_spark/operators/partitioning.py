@@ -52,6 +52,47 @@ def detect_hot_keys(
     return [r[0] for r in hot.collect()]
 
 
+def probe_payload_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    payload: str = "text",
+    skew_factor: float = 8.0,
+    sample_fraction: float | None = None,
+    bytes_col: str | None = None,
+) -> dict:
+    """One sampled probe → ``{"hot_keys": [...], "mean_row_bytes": f}``.
+
+    Extends the hot-key probe with the mean payload size per row —
+    the CPU-cost proxy the flagship plan uses to pick task
+    granularity: extraction cost scales with payload bytes, so a
+    corpus of ~MB rows needs ~3 tasks/core even with zero key skew
+    (26-row scan splits of 0.7 MB pages measured 3-4× slower than
+    96-way fine-grained tasks at local[32] — scripts/bench_heavy.py).
+    Same scan shape as ``detect_hot_keys``; ``bytes_col`` takes
+    precomputed byte counts (warm runs)."""
+    if bytes_col is not None:
+        scan = df.select(key, F.col(bytes_col).alias("_bytes"))
+    else:
+        scan = df.select(key, F.length(F.col(payload)).alias("_bytes"))
+    if sample_fraction is not None:
+        scan = scan.sample(fraction=sample_fraction, seed=42)
+    per_key = scan.groupBy(key).agg(
+        F.sum("_bytes").alias("_key_bytes"), F.count("*").alias("_rows")
+    )
+    totals = per_key.agg(
+        F.avg("_key_bytes").alias("mean_key_bytes"),
+        (F.sum("_key_bytes") / F.sum("_rows")).alias("mean_row_bytes"),
+    ).first()
+    mean_key = totals["mean_key_bytes"] or 0.0
+    hot = per_key.filter(
+        F.col("_key_bytes") > int(mean_key * skew_factor)
+    ).select(key)
+    return {
+        "hot_keys": [r[0] for r in hot.collect()],
+        "mean_row_bytes": float(totals["mean_row_bytes"] or 0.0),
+    }
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int,

@@ -12,7 +12,11 @@ unconditional repartition of the full payload column is a 100 TB
 shuffle at 100 TB input, bought to fix skew that balanced splits +
 AQE mostly already fix.  The default ``salt_hot_keys="auto"`` runs a
 sampled byte-skew probe (cheap: two tiny columns, sampled) and buys
-the shuffle only when a hot key actually exists.
+the shuffle only when the probe finds a reason: a hot key (salted
+repartition) or heavy rows (mean payload ≥ HEAVY_ROW_BYTES — CPU per
+row is payload-proportional, so task granularity must follow CPU,
+not bytes; fine-grained repartition measured 3-4× faster on ~0.7 MB
+pages).
 
 ``render_extracted`` reproduces the reference's text sink format for
 golden comparison (save_results W:1712-1726 + integrated.py:45-58):
@@ -26,9 +30,16 @@ from pyspark.sql import DataFrame, functions as F
 
 from webtext_extraction_spark.operators.extraction import extract_turns
 from webtext_extraction_spark.operators.partitioning import (
-    detect_hot_keys,
+    probe_payload_stats,
     salted_repartition,
 )
+
+# rows above this mean size are "heavy": per-row CPU (kernel cost scales
+# with payload bytes) makes byte-balanced scan splits too coarse — a
+# 128 MB split of 0.7 MB pages is ~180 rows ≈ 30+ s of single-task CPU.
+# Measured at local[32]: 26-row splits 3-4× slower than 3-tasks/core
+# fine-grained repartition (scripts/bench_heavy.py).
+HEAVY_ROW_BYTES = 131072
 
 
 def extraction_pipeline(
@@ -58,14 +69,28 @@ def extraction_pipeline(
     committed run (``lineage.warm_key_stats``); when given, the probe
     aggregates those precomputed byte counts instead of scanning the
     payload column — the 100 TB warm-run path.
+
+    The auto probe buys the repartition in TWO skew regimes:
+    - key skew (hot conversations) → salted repartition;
+    - HEAVY ROWS (mean payload ≥ ``HEAVY_ROW_BYTES``, no skew needed)
+      → plain fine-grained repartition: per-row CPU scales with
+      payload bytes, so byte-balanced 128 MB scan splits of ~MB pages
+      are 100+-row, 30+-second tasks — stragglers and poor
+      transport/compute overlap cost 3-4× (measured,
+      scripts/bench_heavy.py).
     """
     hot = None
+    heavy_rows = False
     if salt_hot_keys is True or salt_hot_keys == "auto":
         if warm_stats is not None:
-            hot = detect_hot_keys(warm_stats, bytes_col="payload_bytes")
+            stats = probe_payload_stats(warm_stats, bytes_col="payload_bytes")
         else:
-            hot = detect_hot_keys(transcripts, sample_fraction=hot_sample_fraction)
-    if hot or salt_hot_keys is True:
+            stats = probe_payload_stats(
+                transcripts, sample_fraction=hot_sample_fraction
+            )
+        hot = stats["hot_keys"]
+        heavy_rows = stats["mean_row_bytes"] >= HEAVY_ROW_BYTES
+    if hot or heavy_rows or salt_hot_keys is True:
         if num_partitions is None:
             # 3 tasks per core: fine-grained tasks smooth stragglers (hot
             # pages cost ~10× a normal page even after salting)

@@ -21,7 +21,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from webtext_extraction_spark.fixtures_pages import bench_payload_for, payload_for
+from webtext_extraction_spark.fixtures_pages import (
+    bench_payload_for,
+    heavy_payload_for,
+    payload_for,
+)
 
 PAYLOAD_TYPE = StructType(
     [
@@ -57,6 +61,11 @@ def payload_udf(conv_ids: pa.Array, turn_idxs: pa.Array) -> pa.Array:
 @F.arrow_udf(PAYLOAD_TYPE)
 def bench_payload_udf(conv_ids: pa.Array, turn_idxs: pa.Array) -> pa.Array:
     return _payload_batch(conv_ids, turn_idxs, bench_payload_for)
+
+
+@F.arrow_udf(PAYLOAD_TYPE)
+def heavy_payload_udf(conv_ids: pa.Array, turn_idxs: pa.Array) -> pa.Array:
+    return _payload_batch(conv_ids, turn_idxs, heavy_payload_for)
 
 
 def synth_transcripts(
@@ -96,7 +105,10 @@ def synth_transcripts(
             + F.col("turn_idx")
         ),
     )
-    gen_udf = bench_payload_udf if profile == "bench" else payload_udf
+    gen_udf = {
+        "bench": bench_payload_udf,
+        "heavy": heavy_payload_udf,
+    }.get(profile, payload_udf)
     payloads = skeleton.withColumn("_p", gen_udf(F.col("conv_id"), F.col("turn_idx")))
     return payloads.select(
         "conv_id",
