@@ -64,15 +64,16 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("name", "attrs", "parent", "children", "decomposed", "_classes")
+    __slots__ = ("name", "attrs", "parent", "children", "decomposed", "_classes", "order")
 
-    def __init__(self, name: str, attrs: dict, parent):
+    def __init__(self, name: str, attrs: dict, parent, order: int = 0):
         self.name = name
         self.attrs = attrs
         self.parent = parent
         self.children: list = []
         self.decomposed = False
         self._classes = None  # lazy class-token cache (attrs are immutable)
+        self.order = order  # document pre-order position (parse-time)
 
     # -- attribute helpers -------------------------------------------------
     def get(self, key: str, default=None):
@@ -100,32 +101,46 @@ class Element:
         yield from self.descendants()
 
     def iter_text_nodes(self):
-        """Yield live TextNodes in document order."""
+        """Live TextNodes in document order (list — every caller
+        consumes the walk fully; an explicit-stack list build avoids
+        per-node generator resume overhead in the hot path)."""
+        out: list = []
         if self.decomposed:
-            return
-        stack = [iter(self.children)]
-        while stack:
-            try:
-                child = next(stack[-1])
-            except StopIteration:
-                stack.pop()
-                continue
-            if isinstance(child, TextNode):
-                yield child
-            elif isinstance(child, Element) and not child.decomposed:
-                stack.append(iter(child.children))
+            return out
+        children, i = self.children, 0
+        stack: list = []
+        while True:
+            if i < len(children):
+                child = children[i]
+                i += 1
+                if type(child) is TextNode:
+                    out.append(child)
+                elif not child.decomposed:
+                    stack.append((children, i))
+                    children, i = child.children, 0
+            elif stack:
+                children, i = stack.pop()
+            else:
+                return out
 
     def descendants(self):
-        stack = [iter(self.children)]
-        while stack:
-            try:
-                child = next(stack[-1])
-            except StopIteration:
-                stack.pop()
-                continue
-            if isinstance(child, Element) and not child.decomposed:
-                yield child
-                stack.append(iter(child.children))
+        """Live descendant Elements in document order (list; see
+        ``iter_text_nodes`` for why not a generator)."""
+        out: list = []
+        children, i = self.children, 0
+        stack: list = []
+        while True:
+            if i < len(children):
+                child = children[i]
+                i += 1
+                if type(child) is not TextNode and not child.decomposed:
+                    out.append(child)
+                    stack.append((children, i))
+                    children, i = child.children, 0
+            elif stack:
+                children, i = stack.pop()
+            else:
+                return out
 
     def ancestors(self):
         node = self.parent
@@ -149,6 +164,14 @@ class Element:
         """Remove this subtree from the document (W:1285-1287 analogue)."""
         self.decomposed = True
         if self.parent is not None:
+            # invalidate the owning document's clean-index guarantee
+            # BEFORE detaching (only a decompose inside the live tree can
+            # change liveness of indexed elements)
+            top = self
+            while top.parent is not None:
+                top = top.parent
+            if isinstance(top, Document):
+                top.decompose_epoch += 1
             self.parent.children = [c for c in self.parent.children if c is not self]
             self.parent = None
 
@@ -168,15 +191,7 @@ class Element:
         """Like get_text but returns a TrackedText with payload offsets."""
         from webtext_extraction_spark.kernel.tracked import TrackedText
 
-        parts = []
-        for tn in self.iter_text_nodes():
-            tt = TrackedText.from_pieces(tn.pieces)
-            if strip:
-                tt = tt.strip()
-                if not tt.text:
-                    continue
-            parts.append(tt)
-        return TrackedText.join(separator, parts)
+        return TrackedText.from_text_nodes(self.iter_text_nodes(), separator, strip)
 
     # -- queries -------------------------------------------------------------
     def select(self, selector: str) -> list["Element"]:
@@ -194,9 +209,21 @@ class Element:
         and/or predicates over the raw class string / id string."""
         if isinstance(names, str):
             names = [names]
+        candidates = None
+        if names is not None:
+            doc = owning_document(self)
+            if doc is not None:
+                idx = doc.ensure_index()
+                candidates = []
+                for n in names:
+                    candidates.extend(idx.by_tag.get(n, ()))
+                if len(names) > 1:
+                    candidates.sort(key=_order_key)
+                if not (self is doc and doc.decompose_epoch == idx.epoch):
+                    candidates = [el for el in candidates if is_under(el, self)]
         out = []
-        for el in self.descendants():
-            if names is not None and el.name not in names:
+        for el in candidates if candidates is not None else self.descendants():
+            if candidates is None and names is not None and el.name not in names:
                 continue
             if class_pred is not None and not class_pred(el.attrs.get("class")):
                 continue
@@ -209,15 +236,76 @@ class Element:
         return f"<{self.name} {self.attrs}>"
 
 
+class _DomIndex:
+    """Liveness-at-build-time snapshot of (tag|class|id|attr-name) →
+    doc-order element lists.  Queries taken at ``epoch`` ==
+    ``doc.decompose_epoch`` need no liveness re-check; after further
+    decomposes, candidates are re-verified with :func:`is_under`."""
+
+    __slots__ = ("by_tag", "by_class", "by_id", "by_attr", "epoch")
+
+    def __init__(self, root: "Document"):
+        self.by_tag: dict = {}
+        self.by_class: dict = {}
+        self.by_id: dict = {}
+        self.by_attr: dict = {}
+        self.epoch = root.decompose_epoch
+        for el in root.descendants():
+            self.by_tag.setdefault(el.name, []).append(el)
+            for c in el.class_list():
+                self.by_class.setdefault(c, []).append(el)
+            for k in el.attrs:
+                self.by_attr.setdefault(k, []).append(el)
+            i = el.attrs.get("id")
+            if i is not None:
+                self.by_id.setdefault(i, []).append(el)
+
+
+def _order_key(el) -> int:
+    return el.order
+
+
+def owning_document(el):
+    """The Document at the top of ``el``'s parent chain, or None when
+    the chain is broken (el sits in a decomposed/detached subtree)."""
+    node = el
+    while node.parent is not None:
+        node = node.parent
+    return node if isinstance(node, Document) else None
+
+
+def is_under(el, root) -> bool:
+    """True iff ``root`` is a PROPER ancestor of ``el`` along live
+    parent links — exactly the elements a ``root.descendants()`` walk
+    yields (decomposed subtrees are detached, breaking the chain)."""
+    node = el
+    while True:
+        parent = node.parent
+        if parent is None:
+            return False
+        if parent is root:
+            return True
+        node = parent
+
+
 class Document(Element):
     """Root node; also exposes ``body`` and ``title`` (W:1341, W:1359)."""
 
     def __init__(self):
         super().__init__("[document]", {}, None)
+        self.decompose_epoch = 0
+        self._dom_index: _DomIndex | None = None
+
+    def ensure_index(self) -> _DomIndex:
+        if self._dom_index is None:
+            self._dom_index = _DomIndex(self)
+        return self._dom_index
 
     def _first_named(self, name):
-        for el in self.descendants():
-            if el.name == name:
+        idx = self.ensure_index()
+        clean = self.decompose_epoch == idx.epoch
+        for el in idx.by_tag.get(name, ()):
+            if clean or is_under(el, self):
                 return el
         return None
 
@@ -242,14 +330,20 @@ class _TreeBuilder(HTMLParser):
     def __init__(self, payload: str):
         super().__init__(convert_charrefs=False)
         self.payload = payload
-        # line-start table: getpos() is (1-based line, col)
-        self.linestarts = [0]
-        idx = payload.find("\n")
-        while idx != -1:
-            self.linestarts.append(idx + 1)
-            idx = payload.find("\n", idx + 1)
+        # absolute-position tracking: goahead calls updatepos(i, j) after
+        # every consumed segment, and every handler that reads a position
+        # (data/entity/charref) fires when the previous updatepos ended
+        # exactly at that handler's start — so _pos IS the handler's
+        # absolute offset.  This replaces the stdlib line/column
+        # bookkeeping (a str.count('\n') per event) we never used beyond
+        # reconstructing absolute offsets.  _rebase covers the one place
+        # indices become relative: close() re-runs goahead on the
+        # unconsumed tail after feed() rebased self.rawdata.
+        self._pos = 0
+        self._rebase = 0
         self.root = Document()
         self.stack: list[Element] = [self.root]
+        self.order = 0  # document pre-order counter (creation order)
         self.pending: list = []  # text pieces awaiting flush
         # tag names of opens beyond MAX_DEPTH (flattened, not pushed) —
         # names are kept so an end tag only consumes a flattened open it
@@ -257,9 +351,12 @@ class _TreeBuilder(HTMLParser):
         # open must reach the real stack (ADVICE r01)
         self.overflow_tags: list[str] = []
 
+    def updatepos(self, i: int, j: int) -> int:
+        self._pos = j
+        return j
+
     def _abs(self) -> int:
-        line, col = self.getpos()
-        return self.linestarts[line - 1] + col
+        return self._rebase + self._pos
 
     def _flush_text(self):
         if self.pending:
@@ -274,7 +371,8 @@ class _TreeBuilder(HTMLParser):
         for k, v in attrs:
             if k not in attr_map:  # first occurrence wins (html.parser order)
                 attr_map[k] = v if v is not None else ""
-        el = Element(tag, attr_map, self.stack[-1])
+        self.order += 1
+        el = Element(tag, attr_map, self.stack[-1], self.order)
         self.stack[-1].children.append(el)
         if tag not in VOID_ELEMENTS:
             if len(self.stack) >= MAX_DEPTH:
@@ -288,7 +386,8 @@ class _TreeBuilder(HTMLParser):
         for k, v in attrs:
             if k not in attr_map:
                 attr_map[k] = v if v is not None else ""
-        el = Element(tag, attr_map, self.stack[-1])
+        self.order += 1
+        el = Element(tag, attr_map, self.stack[-1], self.order)
         self.stack[-1].children.append(el)
 
     def handle_endtag(self, tag):
@@ -358,6 +457,10 @@ def parse(payload: str) -> Document:
     """Parse an HTML payload into an offset-tracking Document tree."""
     builder = _TreeBuilder(payload)
     builder.feed(payload)
+    # feed() rebased self.rawdata to the unconsumed tail; events fired
+    # during close() carry tail-relative positions
+    builder._rebase = len(payload) - len(builder.rawdata)
+    builder._pos = 0
     builder.close()
     builder._flush_text()
     return builder.root

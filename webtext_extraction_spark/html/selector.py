@@ -211,10 +211,51 @@ def decompose_all(root, selectors: list[str]) -> None:
         el.decompose()
 
 
+def _index_candidates(idx, compound):
+    """Doc-order candidate list for a compound from the most selective
+    available index key, or None when the compound is unindexable
+    (bare ``*``)."""
+    if compound.ids:
+        return idx.by_id.get(compound.ids[0], ())
+    if compound.classes:
+        return idx.by_class.get(compound.classes[0], ())
+    if compound.tag and compound.tag != "*":
+        return idx.by_tag.get(compound.tag, ())
+    if compound.attrs:
+        return idx.by_attr.get(compound.attrs[0][0], ())
+    return None
+
+
 def select(root, selector: str) -> list:
     """All live descendant elements of ``root`` matching ``selector``,
-    in document order (bs4 ``select`` contract)."""
+    in document order (bs4 ``select`` contract).
+
+    Fast path: candidates come from the owning Document's lazy
+    tag/class/id/attr index (one walk per document, ever) and are
+    re-verified for liveness/containment only when the tree mutated
+    since the index was built — instead of one full tree walk per
+    ``select`` call.  Results are identical to the walk."""
+    from webtext_extraction_spark.html.dom import is_under, owning_document
+
     groups = _parse_selector(selector)
+    doc = owning_document(root)
+    if doc is not None:
+        idx = doc.ensure_index()
+        per_chain = [_index_candidates(idx, chain[-1][1]) for chain in groups]
+        if all(c is not None for c in per_chain):
+            clean = root is doc and doc.decompose_epoch == idx.epoch
+            hits: dict[int, object] = {}
+            for chain, cands in zip(groups, per_chain):
+                last_idx = len(chain) - 1
+                for el in cands:
+                    if el.order in hits:
+                        continue
+                    if not (clean or is_under(el, root)):
+                        continue
+                    if _chain_matches(el, chain, last_idx):
+                        hits[el.order] = el
+            return [hits[k] for k in sorted(hits)]
+    # walk fallback: detached root or unindexable compound
     out = []
     for el in root.descendants():
         for chain in groups:

@@ -70,13 +70,24 @@ def remove_duplicate_content(tt: TrackedText) -> TrackedText:
         return tt
     kept: list[TrackedText] = []
     kept_texts: list[str] = []
+    # one lazily-created SequenceMatcher per KEPT paragraph with seq2
+    # fixed: difflib's b-side preprocessing (__chain_b / fullbcount)
+    # runs once per kept paragraph actually compared against, instead of
+    # once per compared pair; set_seq1 between comparisons is free.
+    # Identical results to a fresh SequenceMatcher(None, para, seen)
+    # per pair.
+    kept_sms: list[SequenceMatcher | None] = []
     for para in paragraphs:
         is_dup = False
-        for seen in kept_texts:
-            if para.text == seen:  # exact dup: ratio()==1.0 > 0.8
+        pt = para.text
+        for j, seen in enumerate(kept_texts):
+            if pt == seen:  # exact dup: ratio()==1.0 > 0.8
                 is_dup = True
                 break
-            sm = SequenceMatcher(None, para.text, seen)
+            sm = kept_sms[j]
+            if sm is None:
+                sm = kept_sms[j] = SequenceMatcher(None, "", seen)
+            sm.set_seq1(pt)
             # quick ratios are UPPER BOUNDS on ratio(): gating on them
             # is exact for the strict > 0.8 test and skips the O(n²)
             # pass for clearly-dissimilar pairs
@@ -89,7 +100,8 @@ def remove_duplicate_content(tt: TrackedText) -> TrackedText:
                 break
         if not is_dup:
             kept.append(para)
-            kept_texts.append(para.text)
+            kept_texts.append(pt)
+            kept_sms.append(None)
     return TrackedText.join("\n\n", kept)
 
 

@@ -169,11 +169,16 @@ def extract_main_content(
 
 
 def _selenium_variant(
-    payload: str, domain: str, site_rules: dict | None = None
+    payload: str, domain: str, site_rules: dict | None = None, pristine_dom=None
 ) -> tuple[TrackedText, str]:
     """The Selenium-path variant (W:1187-1224): extract_main_content on
-    a fresh parse, then the W:1216 body fallback with keep-longer."""
-    dom = htmldom.parse(payload)
+    a fresh parse, then the W:1216 body fallback with keep-longer.
+
+    ``pristine_dom``: an existing parse of the SAME payload whose tree
+    was never mutated (``decompose_epoch == 0``) — indistinguishable
+    from a fresh parse, so the re-parse is skipped.  Callers must not
+    use the tree afterwards (this variant mutates it)."""
+    dom = pristine_dom if pristine_dom is not None else htmldom.parse(payload)
     tt, strategy = extract_main_content(dom, domain, site_rules)
     if not tt.text or len(tt.text.strip()) < rules.SUCCESS_MIN_CHARS:
         for tag in dom.select(rules.SELENIUM_BODY_UNWANTED):
@@ -264,6 +269,7 @@ def extract_payload(
     elif "x.com" in url or "twitter.com" in url:
         handler, handler_name = handlers.handle_twitter, "twitter"
 
+    sdom = None
     if handler is not None:
         sdom = htmldom.parse(payload)
         tt, failure = handler(sdom, url)
@@ -275,8 +281,12 @@ def extract_payload(
             special_failed_message = failure
         # fall through to the normal path (W:437-442)
 
-    # 4. requests-path extraction (W:446-537)
-    dom = htmldom.parse(payload)
+    # 4. requests-path extraction (W:446-537) — a handler-path tree the
+    # handler never mutated is identical to a fresh parse; reuse it
+    if sdom is not None and sdom.decompose_epoch == 0:
+        dom = sdom
+    else:
+        dom = htmldom.parse(payload)
     tt, strategy = extract_main_content(dom, domain, site_rules)
     extracted: TrackedText | None = None
     if tt.text and len(tt.text.strip()) >= rules.SUCCESS_MIN_CHARS:
@@ -284,9 +294,13 @@ def extract_payload(
     elif tt.text:
         extracted = tt  # short result held unstripped (W:528)
 
-    # 5. Selenium-variant retry when absent/short (W:539-564)
+    # 5. Selenium-variant retry when absent/short (W:539-564); a
+    # never-mutated requests-path tree doubles as the "fresh parse"
     if extracted is None or len(extracted.text.strip()) < rules.SUCCESS_MIN_CHARS:
-        selenium_tt, selenium_strategy = _selenium_variant(payload, domain, site_rules)
+        selenium_tt, selenium_strategy = _selenium_variant(
+            payload, domain, site_rules,
+            pristine_dom=dom if dom.decompose_epoch == 0 else None,
+        )
         if selenium_tt.text and len(selenium_tt.text.strip()) >= rules.SUCCESS_MIN_CHARS:
             extracted, strategy = selenium_tt, selenium_strategy
         else:

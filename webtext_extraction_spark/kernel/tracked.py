@@ -29,6 +29,11 @@ import numpy as np
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
+def _chain_one(first, rest):
+    yield first
+    yield from rest
+
+
 class TrackedText:
     __slots__ = ("text", "off")
 
@@ -52,6 +57,13 @@ class TrackedText:
     @classmethod
     def from_pieces(cls, pieces) -> "TrackedText":
         """From DOM text-node pieces (text, src_start, src_end, literal)."""
+        if not pieces:
+            return cls.empty()
+        if len(pieces) == 1:  # the overwhelmingly common shape: one literal run
+            text, start, _end, lit = pieces[0]
+            if lit:
+                return cls(text, np.arange(start, start + len(text), dtype=np.int64))
+            return cls(text, np.full(len(text), -1, dtype=np.int64))
         texts = []
         offs = []
         for text, start, _end, lit in pieces:
@@ -60,9 +72,61 @@ class TrackedText:
                 offs.append(np.arange(start, start + len(text), dtype=np.int64))
             else:
                 offs.append(np.full(len(text), -1, dtype=np.int64))
-        if not texts:
-            return cls.empty()
         return cls("".join(texts), np.concatenate(offs))
+
+    @classmethod
+    def from_text_nodes(cls, nodes, separator: str = "", strip: bool = False) -> "TrackedText":
+        """Assemble DOM TextNodes into one TrackedText — result identical
+        to ``join(separator, [from_pieces(n.pieces).strip()? for n])``
+        but flat: one offset array per kept piece and ONE final
+        concatenate, instead of per-node intermediates (the hot path of
+        ``get_text_tracked`` on large pages)."""
+        texts: list[str] = []
+        offs: list[np.ndarray] = []
+        sep_off = np.full(len(separator), -1, dtype=np.int64) if separator else None
+        first = True
+        for tn in nodes:
+            pieces = tn.pieces
+            if len(pieces) == 1:
+                t, s, _e, lit = pieces[0]
+                a, b = 0, len(t)
+            else:
+                t = "".join(p[0] for p in pieces)
+                a, b = 0, len(t)
+            if strip:
+                stripped = t.strip()
+                if not stripped:
+                    continue
+                a = len(t) - len(t.lstrip())
+                b = a + len(stripped)
+            if not first and separator:
+                texts.append(separator)
+                offs.append(sep_off)
+            first = False
+            if len(pieces) == 1:
+                if b > a:
+                    texts.append(t[a:b])
+                    if pieces[0][3]:
+                        s = pieces[0][1]
+                        offs.append(np.arange(s + a, s + b, dtype=np.int64))
+                    else:
+                        offs.append(np.full(b - a, -1, dtype=np.int64))
+                continue
+            # multi-piece node: clip each piece to the [a, b) keep-window
+            pos = 0
+            for pt, ps, _pe, lit in pieces:
+                pn = len(pt)
+                lo, hi = max(a - pos, 0), min(b - pos, pn)
+                if hi > lo:
+                    texts.append(pt[lo:hi])
+                    if lit:
+                        offs.append(np.arange(ps + lo, ps + hi, dtype=np.int64))
+                    else:
+                        offs.append(np.full(hi - lo, -1, dtype=np.int64))
+                pos += pn
+        if first:
+            return cls.empty()
+        return cls("".join(texts), np.concatenate(offs) if offs else _EMPTY)
 
     @classmethod
     def join(cls, sep: str, parts: list["TrackedText"]) -> "TrackedText":
@@ -94,20 +158,26 @@ class TrackedText:
         return TrackedText(self.text + other.text, np.concatenate([self.off, other.off]))
 
     def strip(self) -> "TrackedText":
-        if not self.text.strip():
+        stripped = self.text.strip()
+        if not stripped:
             return TrackedText.empty()
+        if len(stripped) == len(self.text):  # nothing to strip — no copy
+            return self
         lead = len(self.text) - len(self.text.lstrip())
-        trail = len(self.text) - len(self.text.rstrip())
-        return self.slice(lead, len(self.text) - trail)
+        return self.slice(lead, lead + len(stripped))
 
     def sub(self, pattern, repl: str = "", flags: int = 0) -> "TrackedText":
         """re.sub with a constant replacement; replacement chars are
         synthetic.  Semantics identical to ``re.sub`` on plain text."""
         rx = re.compile(pattern, flags) if isinstance(pattern, str) else pattern
+        it = rx.finditer(self.text)
+        first = next(it, None)
+        if first is None:  # no-match fast path: no copies
+            return self
         pieces_t, pieces_o = [], []
         pos = 0
         repl_off = np.full(len(repl), -1, dtype=np.int64)
-        for m in rx.finditer(self.text):
+        for m in _chain_one(first, it):
             s, e = m.span()
             pieces_t.append(self.text[pos:s])
             pieces_o.append(self.off[pos:s])
@@ -172,14 +242,16 @@ class TrackedText:
         prev, cur = off[:-1], off[1:]
         contiguous = ((prev == -1) & (cur == -1)) | ((prev != -1) & (cur == prev + 1))
         bounds = np.concatenate(([0], np.flatnonzero(~contiguous) + 1, [n]))
-        out = []
-        for run_start, run_end in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
-            if off[run_start] == -1:
-                out.append((run_start, run_end, "syn"))
-            else:
-                first = int(off[run_start])
-                out.append((first, first + (run_end - run_start), "src"))
-        return out
+        run_starts = bounds[:-1]
+        lengths = bounds[1:] - run_starts
+        firsts = off[run_starts]
+        syn = firsts == -1
+        out_start = np.where(syn, run_starts, firsts)
+        out_end = out_start + lengths
+        return [
+            (s, e, "syn" if m else "src")
+            for s, e, m in zip(out_start.tolist(), out_end.tolist(), syn.tolist())
+        ]
 
 
 def reconstruct(payload: str, extracted: str, spans: list) -> str:
