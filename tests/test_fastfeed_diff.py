@@ -1,0 +1,202 @@
+"""Differential tests: the single-pass fast parse driver
+(html/fastfeed.py) must produce a tree IDENTICAL — element names,
+attrs, order counters, structure, text pieces with absolute offsets
+and literal flags — to the stdlib incremental parser path
+(dom.parse_stdlib) on every input, including hostile ones.  Where one
+path raises, the other must raise the same exception type.
+"""
+
+import random
+import string
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from webtext_extraction_spark.fixtures_pages import heavy_payload_for, payload_for
+from webtext_extraction_spark.html import dom as htmldom
+from webtext_extraction_spark.html.dom import TextNode
+
+sys.setrecursionlimit(20000)  # dumps of MAX_DEPTH-capped trees
+
+
+def dump(node):
+    if isinstance(node, TextNode):
+        return ("text", tuple(node.pieces))
+    return (
+        "el",
+        node.name,
+        node.order,
+        tuple(sorted((k, v) for k, v in node.attrs.items())),
+        tuple(dump(c) for c in node.children),
+    )
+
+
+def assert_same_tree(payload: str):
+    try:
+        fast = dump(htmldom.parse(payload))
+        fast_exc = None
+    except Exception as e:  # noqa: BLE001 - comparing failure modes
+        fast, fast_exc = None, type(e)
+    try:
+        ref = dump(htmldom.parse_stdlib(payload))
+        ref_exc = None
+    except Exception as e:  # noqa: BLE001
+        ref, ref_exc = None, type(e)
+    assert fast_exc == ref_exc, (fast_exc, ref_exc, payload[:200])
+    assert fast == ref, payload[:200]
+
+
+ADVERSARIAL = [
+    "",
+    "plain text no markup",
+    "<",
+    "a<",
+    "<3 not a tag",
+    "<div",
+    "<div ",
+    "<div class",
+    '<div class="x',
+    "<div class='x'",
+    "<div/",
+    "<div /",
+    "<a/>",
+    "<a />",
+    "<a b=c d>x</a>",
+    "<a b = 'c'>x</a>",
+    '<a b="c" b="d">dup attr</a>',
+    "<a b>x</a>",
+    '<a "bogus">x</a>',
+    "<a b=&amp;>ent in attr</a>",
+    "<p>unclosed",
+    "</p>stray close",
+    "</>",
+    "</ p>",
+    "</p attr='x'>after</p>",
+    "<!-- comment --><p>x</p>",
+    "<!-- unterminated",
+    "<!--->",
+    "<!---->",
+    "<!-- -- >legacy close<p>y</p>",
+    "<!doctype html><p>x</p>",
+    "<!DOCTYPE html PUBLIC 'x'><i>y</i>",
+    "<!doctype html",
+    "<!bogus decl><p>x</p>",
+    "<!>",
+    "<!",
+    "<![CDATA[raw <b> inside]]><p>x</p>",
+    "<![CDATA[unterminated",
+    "<![if gte IE 8]>cond<![endif]><p>x</p>",
+    "<![rcdata[y]]>z",
+    "<?php echo 1 ?><p>x</p>",
+    "<?pi unterminated",
+    "<?>",
+    "&amp; &lt; &gt; &quot;",
+    "&amp no-semicolon",
+    "&amp",
+    "&notarealentity; tail",
+    "&#65;&#x41;&#X41;",
+    "&#65 no-semi",
+    "&#xZZ; bogus",
+    "&# bogus",
+    "&#",
+    "&",
+    "a & b",
+    "a &! b",
+    "&a",
+    "<script>if (a<b && c>d) {}</script><p>x</p>",
+    "<script>unterminated cdata",
+    "<script>x</script ><p>y</p>",
+    "<SCRIPT>x</SCRIPT><p>y</p>",
+    "<script>x</style>y</script><p>z</p>",
+    "<script></scr</script>ipt><p>x</p>",
+    "<style>p { color: red; }</style><p>x</p>",
+    "<style>x</style\t><p>y</p>",
+    "<title>t &amp; t</title><body>b</body>",
+    "<br><img src='x'><hr/>",
+    "<b><i>misnested</b></i>",
+    "x\x00y<z\x00>w",
+    "日本語<p>テキスト&#x3042;</p>",
+    "<p>\r\nCRLF\r\n</p>",
+    "<div>" * 600 + "deep" + "</div>" * 600,
+    "<div>" * 600 + "</body><p>after-cap</p>",
+    "< p>space before name</p>",
+    "<p >space after name</p>",
+    "<p/ >odd slash</p>",
+    "<a href='x'/><a href=\"y\"/>",
+    "<a href=x/>selfclose-unquoted</a>",
+    "tail<",
+    "tail&",
+    "tail&#",
+    "tail<!",
+    "tail</",
+    "tail<!-",
+    "<p>x</p>trailing text",
+]
+
+
+@pytest.mark.parametrize("idx", range(len(ADVERSARIAL)))
+def test_adversarial_snippets(idx):
+    assert_same_tree(ADVERSARIAL[idx])
+
+
+def test_archetype_pages():
+    for i in range(40):
+        for t in range(1 + i % 12):
+            payload, _tool = payload_for(f"conv{i:06d}", t)
+            assert_same_tree(payload)
+
+
+def test_heavy_pages():
+    for i in range(4):
+        p = heavy_payload_for(f"conv{i}", i)
+        payload = p[0] if isinstance(p, tuple) else p
+        assert_same_tree(payload)
+
+
+def test_mutated_archetypes():
+    """Mutation fuzz (same scheme as test_properties) — 300 seeded
+    cases of deletes / duplications / swaps / truncations / splices
+    over real archetype pages, compared tree-exactly."""
+    rng = random.Random(20260817)
+    pool = [payload_for(f"conv{i:06d}", t)[0] for i in range(30) for t in range(1 + i % 8)]
+
+    def mutate(s):
+        s = list(s)
+        for _ in range(rng.randint(1, 4)):
+            if not s:
+                break
+            kind = rng.randint(0, 4)
+            i, j = rng.randrange(len(s)), rng.randrange(len(s))
+            lo, hi = min(i, j), max(i, j)
+            if kind == 0:
+                del s[lo : min(hi, lo + 200)]
+            elif kind == 1:
+                s[lo:lo] = s[lo : min(hi, lo + 300)]
+            elif kind == 2:
+                s[i], s[j] = s[j], s[i]
+            elif kind == 3:
+                del s[i:]
+            else:
+                other = pool[rng.randrange(len(pool))]
+                frag = other[rng.randrange(max(len(other) - 200, 1)) :][:200]
+                s[i:i] = list(frag)
+        return "".join(s)
+
+    for _ in range(300):
+        assert_same_tree(mutate(pool[rng.randrange(len(pool))]))
+
+
+MARKUP_CHARS = string.ascii_letters + string.digits + " \n\t<>&;/=\"'!?#-[]日本あ"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=MARKUP_CHARS, max_size=160))
+def test_markup_char_soup(payload):
+    assert_same_tree(payload)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200))
+def test_arbitrary_text(payload):
+    assert_same_tree(payload)

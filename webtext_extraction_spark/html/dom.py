@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
+from webtext_extraction_spark.html import fastfeed
+
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
@@ -454,7 +456,23 @@ class _TreeBuilder(HTMLParser):
 
 
 def parse(payload: str) -> Document:
-    """Parse an HTML payload into an offset-tracking Document tree."""
+    """Parse an HTML payload into an offset-tracking Document tree.
+
+    Uses the single-pass fast driver (html/fastfeed.py) — event-stream
+    identical to the stdlib incremental parser (differentially tested in
+    tests/test_fastfeed_diff.py); falls back to the stdlib path when the
+    pinned parser internals are unavailable."""
+    if fastfeed.FAST_FEED_AVAILABLE:
+        builder = _TreeBuilder(payload)
+        fastfeed.fast_feed(builder, payload)
+        builder._flush_text()
+        return builder.root
+    return parse_stdlib(payload)  # pragma: no cover - import fallback
+
+
+def parse_stdlib(payload: str) -> Document:
+    """Reference parse via the stdlib incremental parser — the behavior
+    oracle for the fast driver's differential tests."""
     builder = _TreeBuilder(payload)
     builder.feed(payload)
     # feed() rebased self.rawdata to the unconsumed tail; events fired
