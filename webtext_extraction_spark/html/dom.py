@@ -26,6 +26,7 @@ decoded char is not a verbatim slice of the payload.
 
 from __future__ import annotations
 
+import html as _html
 from html.parser import HTMLParser
 
 from webtext_extraction_spark.html import fastfeed
@@ -420,8 +421,6 @@ class _TreeBuilder(HTMLParser):
         self.pending.append((data, start, start + len(data), True))
 
     def handle_entityref(self, name):
-        import html as _html
-
         start = self._abs()
         end = start + 1 + len(name)
         if end < len(self.payload) and self.payload[end] == ";":
