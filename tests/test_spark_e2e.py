@@ -362,3 +362,58 @@ def test_audit_spans_flags_corruption(spark, transcripts):
     bad = audit_spans(broken, transcripts)
     bad_counts = {r["span_ok"]: r["n"] for r in bad.groupBy("span_ok").agg(F.count("*").alias("n")).collect()}
     assert bad_counts.get("ok", 0) == 0 and bad_counts["mismatch"] > 0
+
+
+def test_extract_turns_distinct_equals_direct(spark, transcripts):
+    """Global dedup-before-extract returns row-identical results to
+    direct extraction — on an input with PLANTED globally-scattered
+    exact-duplicate payloads (the case the operator exists for)."""
+    from webtext_extraction_spark.operators.extraction import (
+        extract_turns,
+        extract_turns_distinct,
+    )
+
+    base = transcripts.limit(60)
+    # plant dups: same payloads under new conv ids, scattered partitions
+    dups = (
+        base.limit(20)
+        .withColumn("conv_id", F.concat(F.lit("dup-"), F.col("conv_id")))
+        .repartition(5)
+    )
+    df = base.unionByName(dups)
+
+    direct = extract_turns(df).orderBy("conv_id", "turn_idx").collect()
+    via_distinct = extract_turns_distinct(df).orderBy("conv_id", "turn_idx").collect()
+    assert len(direct) == len(via_distinct) > 0
+    for a, b in zip(direct, via_distinct):
+        assert a == b
+    # and a planted dup row really equals its original
+    originals = {(r["conv_id"], r["turn_idx"]): r["extracted_text"] for r in direct}
+    dup_rows = [r for r in direct if r["conv_id"].startswith("dup-")]
+    assert dup_rows
+    for r in dup_rows:
+        assert r["extracted_text"] == originals[(r["conv_id"][4:], r["turn_idx"])]
+
+
+def test_batch_memo_duplicate_payloads_byte_identical():
+    """_extract_batch's duplicate-payload memo must return byte-identical
+    rows for duplicate (payload, tool) inputs — including span columns —
+    and match the unmemoized single-row result."""
+    import pyarrow as pa
+
+    from webtext_extraction_spark.kernel.extract import extract_payload
+    from webtext_extraction_spark.operators.extraction import _extract_batch
+
+    p1, t1 = payload_for("convA", 1)
+    p2, t2 = payload_for("convB", 2)
+    texts = pa.array([p1, p2, p1, p1, p2], type=pa.string())
+    tools = pa.array([t1, t2, t1, t1, t2], type=pa.string())
+    out = _extract_batch(texts, tools).to_pylist()
+    assert out[0] == out[2] == out[3]
+    assert out[1] == out[4]
+    for idx, (p, t) in [(0, (p1, t1)), (1, (p2, t2))]:
+        expected = extract_payload(p, t)
+        assert out[idx]["extracted_text"] == expected.text
+        assert [
+            (s["start"], s["end"], s["kind"]) for s in out[idx]["spans"]
+        ] == expected.spans

@@ -114,11 +114,31 @@ def _extract_batch(
     starts: list = []
     ends: list = []
     kinds: list = []
+    # batch-local duplicate-payload memo: web corpora carry exact-dup
+    # pages (mirrors, re-crawls); extraction is deterministic, so each
+    # distinct (payload, tool) is extracted once per batch and dup rows
+    # copy the result columns (O(spans) appends vs ms of kernel work).
+    # Keys reference strings already held by the batch — no copies.
+    memo: dict = {}
     for payload, tool in zip(texts.to_pylist(), tools.to_pylist()):
         if not isinstance(payload, str):
             payload = ""
         if not isinstance(tool, str):
             tool = ""
+        hit = memo.get((payload, tool))
+        if hit is not None:
+            ex_text, strategy, status, url, domain, lo, hi = hit
+            ex_texts.append(ex_text)
+            strategies.append(strategy)
+            statuses.append(status)
+            urls.append(url)
+            domains.append(domain)
+            starts.extend(starts[lo:hi])
+            ends.extend(ends[lo:hi])
+            kinds.extend(kinds[lo:hi])
+            span_offsets.append(len(starts))
+            continue
+        lo = len(starts)
         result = extract_payload(payload, tool, site_rules)
         url, domain = derive_url_and_domain(payload)
         ex_texts.append(result.text)
@@ -131,6 +151,15 @@ def _extract_batch(
             ends.append(s[1])
             kinds.append(s[2])
         span_offsets.append(len(starts))
+        memo[(payload, tool)] = (
+            result.text,
+            result.strategy,
+            result.status,
+            url,
+            domain,
+            lo,
+            len(starts),
+        )
     spans_arr = pa.ListArray.from_arrays(
         pa.array(span_offsets, type=pa.int32()),
         pa.StructArray.from_arrays(
@@ -248,6 +277,43 @@ def extract_turns(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
         F.col("_ex.domain").alias("domain"),
     )
     return with_error_pattern_status(result)
+
+
+def extract_turns_distinct(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
+    """Global dedup-before-extract: run the kernel once per DISTINCT
+    (payload, tool) across the whole input, then join results back to
+    every row.  Output rows/schema identical to ``extract_turns``.
+
+    The trade: two shuffles keyed on a 128-bit payload digest (the
+    distinct, and the result join-back) buy kernel compute proportional
+    to distinct pages — the standard web-corpus move (mirrors and
+    re-crawls commonly make 20-60% of crawl-scale corpora exact dups).
+    Pays when dup_ratio × kernel-ms/page outweighs ~2 shuffle passes of
+    the payload bytes; for globally-scattered dups only — co-located
+    dups are already collapsed for free by the batch-local memo inside
+    ``_extract_batch`` with NO shuffle.  Digest is md5 over
+    (payload, NUL, tool): collision odds ~1e-14 at 1e12 rows.
+    """
+    hexpr = F.md5(
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\x00"),
+            F.coalesce(F.col("tool"), F.lit("")),
+        )
+    )
+    tagged = df.withColumn("_ph", hexpr)
+    distinct = tagged.select("text", "tool", "_ph").dropDuplicates(["_ph"])
+    results = extract_turns(distinct, site_rules).drop("tool")
+    carried = [c for c in df.columns if c != "text"]
+    return tagged.join(results, "_ph").select(
+        *carried,
+        "extracted_text",
+        "spans",
+        "strategy",
+        "status",
+        "url",
+        "domain",
+    )
 
 
 AUDIT_SCHEMA = StructType(
