@@ -183,3 +183,14 @@ def test_depth_cap_fallthrough_clears_stale_overflow():
     assert post, "post-body <div>x</div> must parse as its own element"
     # ZTAIL is a SIBLING of that div, not swallowed inside it
     assert "ZTAIL" not in post[0].get_text()
+
+
+def test_find_all_duplicate_names_yield_once():
+    """find_all with a repeated tag in the names list must return each
+    matching element exactly once (walk semantics; the index fast path
+    dedups the names — code-review r3 finding)."""
+    from webtext_extraction_spark.html import dom as htmldom
+
+    doc = htmldom.parse("<div>a</div><p>b</p><div>c</div>")
+    assert len(doc.find_all(["div", "div"])) == 2
+    assert len(doc.find_all(["div", "p", "div"])) == 3

@@ -132,6 +132,16 @@ ADVERSARIAL = [
     "tail</",
     "tail<!-",
     "<p>x</p>trailing text",
+    # a -1 construct (unterminated quote / comment / PI) followed by a
+    # bogus '&#': the stdlib feed pass breaks at the construct, so its
+    # close-pass '&#' bail dumps the tail as data instead of resuming
+    # parsing (code-review r3 finding; fastfeed `bailed` at recovery)
+    "<a b='c>x&#z;<b>bold</b>",
+    "<!-- open&#z;<b>bold</b>",
+    "<?pi open&#z;<i>x</i>",
+    "<![CDATA[open&#z;<i>x</i>",
+    "<a b='c>x&#z;y&#q;<b>two bails</b>",
+    "&#z;<a b='c>x&#q;<b>bail then construct</b>",
 ]
 
 

@@ -417,3 +417,46 @@ def test_batch_memo_duplicate_payloads_byte_identical():
         assert [
             (s["start"], s["end"], s["kind"]) for s in out[idx]["spans"]
         ] == expected.spans
+
+
+def test_extract_turns_distinct_digest_is_injective(spark):
+    """(payload, tool) pairs that collide under a naive delimiter-concat
+    digest (NUL inside a field) must still get their OWN extraction
+    results (code-review r3 finding: md5(text)||md5(tool), not
+    md5(text || NUL || tool))."""
+    import datetime
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from webtext_extraction_spark.operators.extraction import (
+        extract_turns,
+        extract_turns_distinct,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "tool", "<p>alpha body text</p>a\x00b", "c", ts),
+        ("c2", 0, "tool", "<p>alpha body text</p>a", "b\x00c", ts),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    direct = {r["conv_id"]: r for r in extract_turns(df).collect()}
+    via = {r["conv_id"]: r for r in extract_turns_distinct(df).collect()}
+    assert set(via) == {"c1", "c2"}
+    for cid in ("c1", "c2"):
+        assert via[cid] == direct[cid]

@@ -218,7 +218,7 @@ class Element:
             if doc is not None:
                 idx = doc.ensure_index()
                 candidates = []
-                for n in names:
+                for n in dict.fromkeys(names):  # dedup: repeated names must not double-yield
                     candidates.extend(idx.by_tag.get(n, ()))
                 if len(names) > 1:
                     candidates.sort(key=_order_key)

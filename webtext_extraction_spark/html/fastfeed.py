@@ -277,7 +277,12 @@ def fast_feed(b, rawdata: str) -> None:
             else:
                 break  # lone trailing '<' — emitted by the tail block
             if k < 0:
-                # end-of-input recovery (goahead's end=1 branch)
+                # end-of-input recovery (goahead's end=1 branch).  The
+                # stdlib only reaches this in the CLOSE pass — its feed
+                # pass breaks at every -1 construct — so from here on we
+                # are simulating the close pass (a later bogus-'&#' bail
+                # must dump the tail, not resume parsing).
+                bailed = True
                 k = rawdata.find(">", i + 1)
                 if k < 0:
                     k = rawdata.find("<", i + 1)

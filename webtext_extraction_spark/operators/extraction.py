@@ -291,15 +291,14 @@ def extract_turns_distinct(df: DataFrame, site_rules: dict | None = None) -> Dat
     Pays when dup_ratio × kernel-ms/page outweighs ~2 shuffle passes of
     the payload bytes; for globally-scattered dups only — co-located
     dups are already collapsed for free by the batch-local memo inside
-    ``_extract_batch`` with NO shuffle.  Digest is md5 over
-    (payload, NUL, tool): collision odds ~1e-14 at 1e12 rows.
+    ``_extract_batch`` with NO shuffle.  Digest is md5(payload) ||
+    md5(tool) — hashing the fields SEPARATELY keeps the pair encoding
+    injective (a delimiter inside concat would collide on payloads
+    containing the delimiter byte); collision odds ~1e-14 at 1e12 rows.
     """
-    hexpr = F.md5(
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.lit("\x00"),
-            F.coalesce(F.col("tool"), F.lit("")),
-        )
+    hexpr = F.concat(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        F.md5(F.coalesce(F.col("tool"), F.lit(""))),
     )
     tagged = df.withColumn("_ph", hexpr)
     distinct = tagged.select("text", "tool", "_ph").dropDuplicates(["_ph"])
