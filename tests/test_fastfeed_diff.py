@@ -197,6 +197,32 @@ def test_mutated_archetypes():
         assert_same_tree(mutate(pool[rng.randrange(len(pool))]))
 
 
+def test_exhaustive_small_strings():
+    """EVERY string of length <=5 over 10 markup-critical characters
+    (111,111 cases, ~3 s) — a complete guarantee for short inputs.
+    Lengths 6 and 7 (1M / 10M cases) were run off-suite with zero
+    divergence."""
+    import itertools
+
+    alpha = "<>&#;a'/!-"
+    for length in range(0, 6):
+        for tup in itertools.product(alpha, repeat=length):
+            assert_same_tree("".join(tup))
+
+
+def test_construct_bail_fuzz():
+    """Seeded fuzz over concatenations of incomplete constructs
+    (unterminated quoted-attr tags / comments / PIs / marked sections)
+    and charref-bail fragments — the family that exposed the
+    feed-vs-close pass divergence (30k cases run off-suite; 2k pinned)."""
+    rng = random.Random(7)
+    constructs = ["<a b='c>", '<x y="z>', "<!--", "<?", "<![", "<![CDATA[", "<script>", "<!doctype"]
+    fillers = ["x", "&#z;", "&#1;", "&#;", "<b>t</b>", "&amp;", "</b>", "&#q", "<", "&"]
+    pool = constructs + fillers
+    for _ in range(2000):
+        assert_same_tree("".join(rng.choice(pool) for _ in range(rng.randint(1, 8))))
+
+
 MARKUP_CHARS = string.ascii_letters + string.digits + " \n\t<>&;/=\"'!?#-[]日本あ"
 
 
