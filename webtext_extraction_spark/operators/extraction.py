@@ -284,10 +284,15 @@ def extract_turns_distinct(df: DataFrame, site_rules: dict | None = None) -> Dat
     (payload, tool) across the whole input, then join results back to
     every row.  Output rows/schema identical to ``extract_turns``.
 
-    The trade: two shuffles keyed on a 128-bit payload digest (the
-    distinct, and the result join-back) buy kernel compute proportional
-    to distinct pages — the standard web-corpus move (mirrors and
-    re-crawls commonly make 20-60% of crawl-scale corpora exact dups).
+    The trade (plan-audited): the payload column is scanned twice (the
+    digest-tag side and the distinct side), the distinct buys one
+    exchange of the distinct payloads, and results join back on the
+    digest (AQE picks broadcast when the distinct set is small, SMJ
+    otherwise; extraction itself runs exactly once — one
+    ArrowEvalPython in the plan).  That buys kernel compute
+    proportional to distinct pages — the standard web-corpus move
+    (mirrors and re-crawls commonly make 20-60% of crawl-scale corpora
+    exact dups).
     Pays when dup_ratio × kernel-ms/page outweighs ~2 shuffle passes of
     the payload bytes; for globally-scattered dups only — co-located
     dups are already collapsed for free by the batch-local memo inside
