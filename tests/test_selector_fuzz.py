@@ -127,3 +127,31 @@ def test_selector_engine_matches_naive_reimplementation(nodes):
         fast = dom.select(selector)
         slow = naive_select(dom, selector)
         assert [id(e) for e in fast] == [id(e) for e in slow], selector
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(html_tree(), min_size=1, max_size=5), st.data())
+def test_index_select_survives_decompose_interleavings(nodes, data):
+    """The lazy DOM index must stay walk-equivalent through arbitrary
+    decompose interleavings (dirty-epoch liveness path), for selects on
+    the Document AND on subtree roots, and for find_all."""
+    dom = parse("<html><body>" + "".join(nodes) + "</body></html>")
+    # force the index to exist BEFORE mutations (worst case: stale index)
+    dom.ensure_index()
+    for _round in range(3):
+        # decompose a random live element (if any remain)
+        live = dom.descendants()
+        if live and data.draw(st.booleans()):
+            victim = data.draw(st.sampled_from(live))
+            victim.decompose()
+        roots = [dom] + dom.descendants()[:3]
+        for root in roots:
+            for selector in SELECTORS[:6]:
+                fast = root.select(selector)
+                slow = naive_select(root, selector)
+                assert [id(e) for e in fast] == [id(e) for e in slow], selector
+            fa = root.find_all(["div", "p", "span"])
+            walk = [
+                el for el in root.descendants() if el.name in ("div", "p", "span")
+            ]
+            assert [id(e) for e in fa] == [id(e) for e in walk]
