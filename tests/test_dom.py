@@ -194,3 +194,30 @@ def test_find_all_duplicate_names_yield_once():
     doc = htmldom.parse("<div>a</div><p>b</p><div>c</div>")
     assert len(doc.find_all(["div", "div"])) == 2
     assert len(doc.find_all(["div", "p", "div"])) == 3
+
+
+def test_numeric_charrefs_follow_html_unescape():
+    """bs4 convert_charrefs pin: numeric charrefs decode via
+    html.unescape's HTML5 tables — cp1252 remap for &#128;-&#159;
+    (Word curly quotes/dashes), U+FFFD for surrogates/overflow — not
+    bare chr() (code-review r3 finding)."""
+    import html as html_mod
+
+    from webtext_extraction_spark.html import dom as htmldom
+
+    for ref in ["&#147;", "&#151;", "&#145;", "&#0;", "&#xD800;", "&#x110000;", "&#65;", "&#x3042;"]:
+        doc = htmldom.parse(f"<p>a{ref}b</p>")
+        expected = html_mod.unescape(f"a{ref}b")
+        assert doc.select("p")[0].get_text() == expected, ref
+
+
+def test_duplicate_attribute_last_wins():
+    """bs4 html.parser builder pin: on a duplicated attribute the LAST
+    value wins (on_duplicate_attribute=REPLACE default) — selection by
+    class must see the final value (code-review r3 finding)."""
+    from webtext_extraction_spark.html import dom as htmldom
+
+    doc = htmldom.parse('<div class="a" class="b">x</div>')
+    el = doc.select("div")[0]
+    assert el.attrs["class"] == "b"
+    assert doc.select(".b") and not doc.select(".a")

@@ -156,3 +156,13 @@ def test_mutated_archetype_payloads_never_crash():
         assert reconstruct(m, r.text, spans) == r.text
         r2 = extract_payload(m, tool)
         assert r2.text == r.text and r2.status == r.status
+
+
+def test_hostile_marked_section_is_contained():
+    """A payload whose parse raises (stdlib-parity AssertionError on
+    '<![bogus]>') must produce the generic failure row, not kill the
+    batch (code-review r3 finding: containment at extract_payload)."""
+    for payload in ["<p>hi</p><![bogus]>", "<![3]>", "x<![ ]>y"]:
+        r = extract_payload(payload)
+        assert r.status in ("failure_template", "ok")
+        assert reconstruct(payload, r.text, r.spans) == r.text

@@ -31,6 +31,13 @@ from html.parser import HTMLParser
 
 from webtext_extraction_spark.html import fastfeed
 
+try:  # html.unescape's numeric-charref tables (HTML5 §13.2.5.80: the
+    # cp1252 remap for &#128;-&#159;, U+FFFD for surrogates/overflow,
+    # dropped noncharacters) — bs4 convert_charrefs=True semantics
+    from html import _invalid_charrefs, _invalid_codepoints
+except ImportError:  # pragma: no cover - other stdlib layouts
+    _invalid_charrefs, _invalid_codepoints = {}, set()
+
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
@@ -321,6 +328,17 @@ class Document(Element):
         return self._first_named("title")
 
 
+def _attr_map(attrs) -> dict:
+    """Attr list → dict with bs4's duplicate policy: on a repeated
+    attribute the LAST value wins (BeautifulSoup html.parser builder
+    default, on_duplicate_attribute=REPLACE — the reference parses via
+    BeautifulSoup, W:1241), keeping the first occurrence's position."""
+    attr_map = {}
+    for k, v in attrs:
+        attr_map[k] = v if v is not None else ""
+    return attr_map
+
+
 class _TreeBuilder(HTMLParser):
     """Event-driven tree build with absolute source offsets.
 
@@ -370,10 +388,7 @@ class _TreeBuilder(HTMLParser):
     # -- tag events ----------------------------------------------------------
     def handle_starttag(self, tag, attrs):
         self._flush_text()
-        attr_map = {}
-        for k, v in attrs:
-            if k not in attr_map:  # first occurrence wins (html.parser order)
-                attr_map[k] = v if v is not None else ""
+        attr_map = _attr_map(attrs)
         self.order += 1
         el = Element(tag, attr_map, self.stack[-1], self.order)
         self.stack[-1].children.append(el)
@@ -385,10 +400,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         self._flush_text()
-        attr_map = {}
-        for k, v in attrs:
-            if k not in attr_map:
-                attr_map[k] = v if v is not None else ""
+        attr_map = _attr_map(attrs)
         self.order += 1
         el = Element(tag, attr_map, self.stack[-1], self.order)
         self.stack[-1].children.append(el)
@@ -435,9 +447,21 @@ class _TreeBuilder(HTMLParser):
             end += 1
         try:
             code = int(name[1:], 16) if name.lower().startswith("x") else int(name)
-            decoded = chr(code)
         except (ValueError, OverflowError):
             decoded = self.payload[start:end]
+        else:
+            # html.unescape numeric semantics (= bs4 convert_charrefs):
+            # cp1252 remap for the &#128;-&#159; block (Word-exported
+            # curly quotes/dashes), U+FFFD for surrogates and
+            # out-of-range, noncharacters dropped — NOT bare chr()
+            if code in _invalid_charrefs:
+                decoded = _invalid_charrefs[code]
+            elif 0xD800 <= code <= 0xDFFF or code > 0x10FFFF:
+                decoded = "�"
+            elif code in _invalid_codepoints:
+                decoded = ""
+            else:
+                decoded = chr(code)
         self.pending.append((decoded, start, end, False))
 
     # comments / declarations / PIs contribute no text

@@ -199,7 +199,14 @@ def extract_payload(
     """Per-turn decision tree (W:345-601 collapsed onto one payload).
 
     ``site_rules`` (optional) is the broadcast per-site selector
-    override table; None uses the built-in rules."""
+    override table; None uses the built-in rules.
+
+    Hostile-payload containment: the parser deliberately mirrors the
+    stdlib's exceptions (e.g. AssertionError on ``<![bogus]>`` marked
+    sections), but ONE mangled page must never kill a whole Spark task
+    at 100 TB — the reference likewise funnels any per-URL exception
+    into the generic failure row (W:437-442, W:580-601).  Any exception
+    here becomes the generic failure_template row."""
     payload = payload or ""
     url, domain = derive_url_and_domain(payload)
 
@@ -207,6 +214,19 @@ def extract_payload(
     if tool == "timeout":
         return ExtractResult.synthetic(rules.TIMEOUT_MARKER, "timeout", "timeout")
 
+    try:
+        return _extract_payload_unsafe(payload, tool, site_rules, url, domain)
+    except Exception:  # noqa: BLE001 - containment boundary (see docstring)
+        return ExtractResult.synthetic(
+            f"すべての抽出方法でテキストを抽出できませんでした: {url}",
+            "empty",
+            "failure_template",
+        )
+
+
+def _extract_payload_unsafe(
+    payload: str, tool: str, site_rules: dict | None, url: str, domain: str
+) -> ExtractResult:
     # 1. content-kind dispatch — PDF first (W:353-370 / S5)
     if is_pdfish(payload) or tool == "pdf":
         try:
