@@ -133,3 +133,18 @@ def test_nav_only_detector():
     # long text with few nav phrases is fine
     assert not is_nav_only("Log in to read this interesting article body " * 10)
     assert not is_nav_only("")
+
+
+def test_url_broad_strips_trailing_curly_quote():
+    """W:187 byte-exact: the reference's final char class carries ASCII
+    straight quotes (its curly quotes were historically mangled to
+    ASCII), so a URL ENDING in a curly quote is stripped including the
+    quote (round-3 review finding — the engine used to exclude curly
+    quotes and leave a stray ” behind)."""
+    from webtext_extraction_spark.kernel.cleanup import _URL_BROAD
+    from webtext_extraction_spark.kernel.tracked import TrackedText
+
+    src = "レシピは cookpad.com/recipe/123” をご覧ください"
+    out = TrackedText.literal(src, 0).sub(_URL_BROAD, "")
+    assert "”" not in out.text
+    assert out.text == "レシピは  をご覧ください"

@@ -117,3 +117,23 @@ def test_pinterest_wide_fallback_dedups_nested_identical_divs():
     tt, fail = handlers.handle_pinterest(parse(html), "https://pinterest.com/pin/1")
     assert fail is None
     assert tt.text.count(inner.strip()) == 1
+
+
+def test_markdown_path_applies_second_cleanup():
+    """W:576 + W:593: the Jina/markdown result is cleaned at step 5 and
+    AGAIN in the final-return block; cleanup is not idempotent (the
+    printable filter can expose a URL pass 1 missed), so the double
+    application is semantic (round-3 review finding)."""
+    from webtext_extraction_spark.kernel.extract import extract_payload
+
+    payload = (
+        "Title: x\nURL Source: y\nMarkdown Content:\n"
+        "see example\x01.com/page for details\n\n"
+        + "filler text to clear the fifty character jina minimum gate\n"
+    )
+    r = extract_payload(payload)
+    assert r.strategy == "markdown"
+    # pass 1: printable filter removes \x01, exposing example.com/page;
+    # pass 2's URL strip must remove it
+    assert "example.com/page" not in r.text
+    assert "details" in r.text

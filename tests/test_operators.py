@@ -563,3 +563,17 @@ def test_multimodal_decoder_seam(spark):
             assert bytes(r["payload"]) == originals[r["media_id"]][:4] + b"|32x16"
         else:
             assert bytes(r["payload"]) == originals[r["media_id"]]
+
+
+def test_make_extract_udf_rejects_unsupported_selectors(spark):
+    """Runtime rule tables are validated at broadcast time: an
+    unsupported selector must fail the job setup loudly instead of
+    being silently contained into per-row failure rows (round-3
+    review finding)."""
+    import pytest as _pytest
+
+    from webtext_extraction_spark.operators.extraction import make_extract_udf
+
+    with _pytest.raises(ValueError):
+        make_extract_udf(spark, {"example.com": ["div > p"]})
+    make_extract_udf(spark, {"example.com": [".article", "div.x + p"]})  # supported

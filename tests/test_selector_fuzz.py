@@ -155,3 +155,16 @@ def test_index_select_survives_decompose_interleavings(nodes, data):
                 el for el in root.descendants() if el.name in ("div", "p", "span")
             ]
             assert [id(e) for e in fa] == [id(e) for e in walk]
+
+
+def test_decompose_all_adjacent_chain_sequential_semantics():
+    """decompose_all with an adjacent-sibling chain must equal
+    sequential per-selector select+decompose: '.x' removes the first
+    sibling, after which '.y + .z' no longer matches (round-3 review
+    finding — the batch walk used to match '+' against the pristine
+    tree)."""
+    from webtext_extraction_spark.html.selector import decompose_all
+
+    dom = parse('<html><body><p class="x y">a</p><p class="z">keep</p></body></html>')
+    decompose_all(dom.body, [".x", ".y + .z"])
+    assert [el.get_text() for el in dom.select("p")] == ["keep"]

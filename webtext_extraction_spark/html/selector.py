@@ -177,10 +177,26 @@ def decompose_all(root, selectors: list[str]) -> None:
     """Decompose every descendant matching ANY selector — single tree
     walk instead of one walk per selector.  Final tree state is
     identical to sequential per-selector select+decompose (decomposing
-    a node inside an already-collected subtree is a no-op).
+    a node inside an already-collected subtree is a no-op) — EXCEPT for
+    adjacent-sibling (``+``) chains, whose matches can depend on
+    earlier decompositions; any selector containing one is applied
+    sequentially first to preserve the invariant (round-3 review; all
+    built-in unwanted-selector sets are bare tags / single classes, so
+    this path is cold).
 
     Bare-tag and single-class compounds (all 26 boilerplate selectors)
     collapse into two set-membership tests per element."""
+    if any(
+        comb == "adjacent"
+        for s in selectors
+        for chain in _parse_selector(s)
+        for comb, _c in chain
+    ):
+        # exact sequential semantics, in list order
+        for s in selectors:
+            for el in select(root, s):
+                el.decompose()
+        return
     simple_tags: set[str] = set()
     simple_classes: set[str] = set()
     complex_chains = []

@@ -26,11 +26,17 @@ from webtext_extraction_spark.kernel.tracked import TrackedText
 # C1 — URL strip chain (W:181-187); order matters
 _URL_HTTP = re.compile(r"https?://\S+")
 _URL_WWW = re.compile(r"www\.\S+")
-# W:187 verbatim semantics: broad heuristic URL matcher incl. unicode quotes
+# W:187 verbatim: broad heuristic URL matcher.  The reference's final
+# character class ends ...<>?«»""'' with ASCII straight quotes (byte
+# inspection — the intended curly quotes were mangled to ASCII dupes at
+# some point in its history), so CURLY quotes are valid URL-final chars
+# there and a URL ending in one IS stripped; round-3 review caught the
+# engine excluding them (trailing ” survived where the reference
+# deletes it).
 _URL_BROAD = re.compile(
     r"(?i)\b((?:https?://|www\d{0,3}[.]|[a-z0-9.\-]+[.][a-z]{2,4}/)"
     r"(?:[^\s()<>]+|\(([^\s()<>]+|(\([^\s()<>]+\)))*\))+"
-    r"(?:\(([^\s()<>]+|(\([^\s()<>]+\)))*\)|[^\s`!()\[\]{};:\'\".,<>?«»“”‘’]))"
+    r"(?:\(([^\s()<>]+|(\([^\s()<>]+\)))*\)|[^\s`!()\[\]{};:\'\".,<>?«»]))"
 )
 # C3 — the two blank-line-collapse variants (Q2)
 _BLANK3 = re.compile(r"\n\s*\n\s*\n+")   # W:190 (cleanup path)
@@ -48,6 +54,7 @@ _MD_LINK = re.compile(r"\[[^\]]*\]\([^)]*\)\s*")
 _MD_IMGTAG = re.compile(r"<img[^>]*>\s*")
 
 _CONTENT_INDICATORS = [re.compile(p) for p in rules.CONTENT_INDICATOR_PATTERNS]
+_FFFD = re.compile("�")
 # kept-whitespace removed before the whole-string isprintable fast path
 _WS_STRIP = {ord("\n"): None, ord("\t"): None, ord("\r"): None}
 
@@ -109,7 +116,7 @@ def _printable_filter(tt: TrackedText) -> TrackedText:
     """C5 — drop U+FFFD then keep \\n\\t\\r plus str.isprintable chars
     (W:196-203).  Python ``isprintable`` drops all Cc/Cf/Zl/Zp and all
     Zs except ' ' — no SQL builtin matches, hence kernel-side."""
-    tt = tt.sub(re.compile("�"), "")
+    tt = tt.sub(_FFFD, "")
     if not tt.text:
         return tt
     # fast path: whole-string isprintable check (C speed) — per-char

@@ -267,11 +267,32 @@ def _extract_payload_unsafe(
             "failure_template",
         )
 
-    # normal-path markdown payload: Jina strip + full cleanup (W:568-576)
+    # normal-path markdown payload: Jina strip + cleanup (W:568-576),
+    # then the reference's FINAL-RETURN flow (W:580-601): the step-5
+    # Jina result is cleaned once at W:576 and then passes through the
+    # Pinterest nav-only check and the W:593 SECOND cleanup — cleanup
+    # is not idempotent (e.g. the printable filter can expose a URL the
+    # first URL-strip pass missed), so the double application is
+    # semantic, not redundant (round-3 review finding).
     if is_markdown:
         tt = jina_markdown_cleanup(TrackedText.literal(payload, 0))
         if tt.text and len(tt.text) > 50:
-            return ExtractResult.from_tracked(cleanup_extracted_text(tt), "markdown")
+            md_extracted = cleanup_extracted_text(tt)
+            if md_extracted.text.strip():
+                if "pinterest.com" in url and is_nav_only(md_extracted.text):
+                    pdom = htmldom.parse(payload)
+                    p_tt, _p_fail = handlers.handle_pinterest(pdom, url)
+                    if (
+                        p_tt is not None
+                        and p_tt.text.strip()
+                        and "失敗しました" not in p_tt.text
+                    ):
+                        return ExtractResult.from_tracked(
+                            cleanup_extracted_text(p_tt), "special-pinterest"
+                        )
+                return ExtractResult.from_tracked(
+                    cleanup_extracted_text(md_extracted.strip()), "markdown"
+                )
         return ExtractResult.synthetic(
             f"すべての抽出方法でテキストを抽出できませんでした: {url}",
             "empty",

@@ -8,7 +8,7 @@ is therefore implemented over (text, offsets) pairs: deletions drop
 offsets, inserted characters (separators, labels, entity decodes,
 regex replacements) carry offset -1 ("synthetic").
 
-Offsets are a numpy int32 array of the same length as the text, so
+Offsets are a numpy int64 array of the same length as the text, so
 all transforms are vectorized slices/takes — no per-character Python
 in the hot path beyond regex scanning (C-speed).
 
@@ -195,6 +195,8 @@ class TrackedText:
         return TrackedText("".join(self.text[i] for i in idx), self.off[idx])
 
     def split(self, sep: str) -> list["TrackedText"]:
+        if not sep:  # str.split parity; find('') would loop forever
+            raise ValueError("empty separator")
         out = []
         start = 0
         while True:
@@ -207,29 +209,12 @@ class TrackedText:
 
     # -- span encoding ---------------------------------------------------------
     def spans(self) -> list[dict]:
-        """Run-length encode offsets into (start, end, kind) structs."""
-        n = len(self.text)
-        if n == 0:
-            return []
-        off = self.off
-        # run boundary where offsets stop being contiguous (+1 steps in a
-        # src run, or -1/-1 continuation in a syn run)
-        prev, cur = off[:-1], off[1:]
-        contiguous = ((prev == -1) & (cur == -1)) | ((prev != -1) & (cur == prev + 1))
-        bounds = np.concatenate(([0], np.flatnonzero(~contiguous) + 1, [n]))
-        out = []
-        for run_start, run_end in zip(bounds[:-1], bounds[1:]):
-            if off[run_start] == -1:
-                out.append({"start": int(run_start), "end": int(run_end), "kind": "syn"})
-            else:
-                out.append(
-                    {
-                        "start": int(off[run_start]),
-                        "end": int(off[run_end - 1]) + 1,
-                        "kind": "src",
-                    }
-                )
-        return out
+        """Run-length encode offsets into {start, end, kind} dicts —
+        the dict view of :meth:`span_tuples` (single source of truth
+        for the boundary computation)."""
+        return [
+            {"start": s, "end": e, "kind": k} for s, e, k in self.span_tuples()
+        ]
 
     def span_tuples(self) -> list[tuple]:
         """spans() as (start, end, kind) tuples — the Arrow-friendly

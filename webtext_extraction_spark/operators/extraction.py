@@ -211,6 +211,16 @@ def make_extract_udf(spark, site_rules: dict):
     per-site selector overrides broadcast to executors").  The closure
     captures only the broadcast handle; executors unpack it once per
     worker."""
+    # validate the runtime rule table at JOB SETUP: an unsupported
+    # selector must fail loudly here, not be silently converted into a
+    # per-row failure_template by the hostile-payload containment
+    # (round-3 review finding)
+    from webtext_extraction_spark.html.selector import _parse_selector
+
+    for _domain, selectors in (site_rules or {}).items():
+        for sel in selectors:
+            _parse_selector(sel)  # raises ValueError on unsupported grammar
+
     bc = spark.sparkContext.broadcast(site_rules)
 
     @F.arrow_udf(EXTRACT_RESULT_TYPE)
