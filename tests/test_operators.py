@@ -577,3 +577,88 @@ def test_make_extract_udf_rejects_unsupported_selectors(spark):
     with _pytest.raises(ValueError):
         make_extract_udf(spark, {"example.com": ["div > p"]})
     make_extract_udf(spark, {"example.com": [".article", "div.x + p"]})  # supported
+
+
+# ---------------------------------------------------------------------------
+# repetition profile (Gopher-style filters) + decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_profile_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a b"),
+            (1, "x y z w v x y z w v"),
+            (2, ""),  # zero words: drops out (documented)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_profile(df, "doc_id", "text").collect()
+    }
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert r0["n_words"] == 3
+    assert r0["dup_word_frac"] == round((3 - 2) / 3, 6)
+    # 'a' occurs twice: dup char mass 2*1 over total word mass 3*1
+    assert r0["dup_word_char_frac"] == round(2 / 3, 6)
+    # bigrams 'a a' and 'a b' both c=1 -> struct max picks 'a b';
+    # 1 * len('a b') / len('a a b') = 3/5
+    assert r0["top_ngram_char_frac"] == round(3 / 5, 6)
+    assert r0["dup_ngram_char_frac"] == 0.0  # no repeated 5-gram
+    r1 = rows[1]
+    # 'x y z w v' repeats: all 10 words are dup occurrences
+    assert r1["n_words"] == 10
+    assert r1["dup_word_frac"] == round(5 / 10, 6)
+    assert r1["dup_word_char_frac"] == 1.0
+    # 5-gram 'x y z w v' occurs at offsets 0 and 5 -> mass 2*9; chars 19
+    assert r1["dup_ngram_char_frac"] == round(2 * 9 / 19, 6)
+
+
+def test_repetition_top_ngram_tie_breaks_to_greatest_gram(spark):
+    # 'b c' occurs twice -> unambiguous winner over 'a b'/'c a'
+    df = spark.createDataFrame([(0, "b c a b c")], ["doc_id", "text"])
+    r = textstats.repetition_profile(df, "doc_id", "text").collect()[0]
+    assert r["top_ngram_char_frac"] == round(2 * 3 / 9, 6)
+
+
+def test_decontaminate_hand_computed(spark):
+    from webtext_extraction_spark.operators import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "p q r s t u"),      # grams: pqrs qrst rstu -> one hit (qrst)
+            (1, "a b c"),            # too short for 4-grams
+            (2, "m n o p"),          # one gram, no hit
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "z z q r s t z")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in contamination.decontaminate(
+            docs, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_grams"], rows[0]["hit_grams"]) == (3, 1)
+    assert rows[0]["contamination_frac"] == round(1 / 3, 6)
+    assert rows[0]["contaminated"] is True
+    assert (rows[1]["n_grams"], rows[1]["hit_grams"]) == (0, 0)
+    assert rows[1]["contamination_frac"] == 0.0
+    assert rows[1]["contaminated"] is False
+    assert (rows[2]["n_grams"], rows[2]["hit_grams"]) == (1, 0)
+    assert rows[2]["contaminated"] is False
+
+
+def test_decontaminate_repeated_gram_counted_once(spark):
+    from webtext_extraction_spark.operators import contamination
+
+    # the same 4-gram appears twice in the doc; distinct-gram counting
+    # must report n_grams=4 (7 positions, 4 distinct), hit once
+    docs = spark.createDataFrame([(0, "a b c d a b c d a b")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, "x a b c d x")], ["doc_id", "text"])
+    r = contamination.decontaminate(docs, bench, "doc_id", "text", n=4).collect()[0]
+    assert r["n_grams"] == 4
+    assert r["hit_grams"] == 1

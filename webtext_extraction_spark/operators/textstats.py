@@ -1,9 +1,10 @@
 """Text-analysis operators: language ID, quality scoring, token
-counting, document fingerprinting.
+counting, document fingerprinting, repetition profiling.
 
-All four are pure column-expression operators (whole-stage codegen,
-zero Python) with exact DuckDB oracles.  The heuristics are the
-standard cheap pre-filters of a training-data pipeline — not models:
+All are pure column-expression / groupBy operators (whole-stage
+codegen, zero Python) with exact DuckDB oracles.  The heuristics are
+the standard cheap pre-filters of a training-data pipeline — not
+models:
 
 - lang_id: charset-share heuristic (JP ranges vs ASCII) + stopword hit
   rate for en; 'unknown' when neither dominates.
@@ -15,6 +16,10 @@ standard cheap pre-filters of a training-data pipeline — not models:
   hashes — a rolling-hash document signature that is identical in
   Spark, DuckDB, and Python (used for fast order-sensitive dedup,
   complementing the order-insensitive minhash).
+- repetition_profile: within-document repetition fractions in the
+  style of Gopher's repetition filters (Rae et al. 2021, table A1) —
+  duplicate-word and duplicate-n-gram character fractions plus the
+  top-n-gram character share.
 """
 
 from __future__ import annotations
@@ -83,6 +88,114 @@ def fingerprint_expr(col) -> Column:
         words(col),
         F.lit(0).cast("long"),
         lambda acc, w: (acc * 31 + portable_hash64(w) % FP_TOKEN_MOD) % FP_MOD,
+    )
+
+
+def _gram_array(ws_col: str, n: int) -> Column:
+    """Sliding word-n-gram array (space-joined), empty when the doc has
+    fewer than n words — same construction as dedup.boilerplate_ngrams
+    but WITHOUT the per-doc distinct (repetition needs multiplicities)."""
+    ws = F.col(ws_col)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Within-document repetition metrics — the engine's variant of the
+    Gopher repetition filters (Rae et al. 2021, "Scaling Language
+    Models", appendix A1.1; the same family FineWeb/Dolma apply).  The
+    corpus here is single-line text, so the line/paragraph variants are
+    expressed over words and word-n-grams:
+
+    - dup_word_frac        (n_words - n_distinct_words) / n_words
+    - dup_word_char_frac   char mass (all occurrences) of words that
+                           appear >= 2 times / total word char mass
+    - top_ngram_char_frac  count(most frequent top_n-gram) * len(gram)
+                           / length(text); ties break to the
+                           lexicographically greatest gram (struct max,
+                           identical in Spark and DuckDB)
+    - dup_ngram_char_frac  char mass of dup_n-grams occurring >= 2
+                           times / length(text).  Overlapping
+                           occurrences are each counted (the cheap
+                           upper-bound variant; Gopher's exact overlap
+                           dedup needs per-doc interval merging), so
+                           the value can exceed 1 on degenerate text —
+                           filters threshold it, they don't sum it.
+
+    Shape (the 100 TB story): all gram sizes (n in {1, top_n, dup_n})
+    are generated in ONE projection over a SINGLE scan of the text
+    column (a union of per-n streams would rescan the 100 TB payload
+    once per n), flattened to a tagged (n, gram) stream with one
+    explode -> groupBy(doc, n, gram) with map-side partial aggregation
+    -> groupBy(doc) rollup.  Two shuffles total, keys are (doc, gram)
+    — uniformly spread, no hot keys, no per-doc quadratic HOF (which
+    would blow up on multi-MB documents).  Docs with zero words drop
+    out (documented; callers keep them with a left join).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.col(text_col)).cast("double").alias("_chars"),
+        words(F.col(text_col)).alias("_ws"),
+    ).filter(F.size("_ws") > 0)
+    def _tagger(n: int):
+        # NOTE: must be a one-arg lambda — transform() interprets a
+        # two-arg lambda as the (element, index) form, so the usual
+        # `lambda g, n=n:` default-capture idiom silently binds n to
+        # the POSITION INDEX here.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tag_streams = [
+        F.transform(_gram_array("_ws", n), _tagger(n)) for n in sorted({1, top_n, dup_n})
+    ]
+    tagged = base.select(
+        "_id",
+        "_chars",
+        F.explode(F.flatten(F.array(*tag_streams))).alias("_t"),
+    ).select("_id", "_chars", F.col("_t.n").alias("n"), F.col("_t.gram").alias("gram"))
+    counts = tagged.groupBy("_id", "_chars", "n", "gram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    counts = counts.withColumn("mass", F.col("c") * F.length("gram"))
+    is1 = F.col("n") == 1
+    ist = F.col("n") == top_n
+    isd = F.col("n") == dup_n
+    dup = F.col("c") >= 2
+    agg = counts.groupBy("_id", "_chars").agg(
+        F.sum(F.when(is1, F.col("c"))).cast("int").alias("n_words"),
+        F.sum(F.when(is1, 1)).cast("int").alias("n_distinct_words"),
+        F.sum(F.when(is1, F.col("mass"))).alias("word_mass"),
+        F.coalesce(F.sum(F.when(is1 & dup, F.col("mass"))), F.lit(0)).alias("dup_word_mass"),
+        F.max(F.when(ist, F.struct(F.col("c"), F.col("gram")))).alias("top"),
+        F.coalesce(F.sum(F.when(isd & dup, F.col("mass"))), F.lit(0)).alias("dup_gram_mass"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        F.round((F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 6)
+        .cast("double")
+        .alias("dup_word_frac"),
+        F.round(F.col("dup_word_mass") / F.col("word_mass"), 6)
+        .cast("double")
+        .alias("dup_word_char_frac"),
+        F.round(
+            F.coalesce(
+                F.col("top.c") * F.length(F.col("top.gram")) / F.col("_chars"),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("top_ngram_char_frac"),
+        F.round(F.col("dup_gram_mass") / F.col("_chars"), 6)
+        .cast("double")
+        .alias("dup_ngram_char_frac"),
     )
 
 
