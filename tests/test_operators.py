@@ -662,3 +662,59 @@ def test_decontaminate_repeated_gram_counted_once(spark):
     r = contamination.decontaminate(docs, bench, "doc_id", "text", n=4).collect()[0]
     assert r["n_grams"] == 4
     assert r["hit_grams"] == 1
+
+
+# ---------------------------------------------------------------------------
+# conversation-level operators (training pairs, conversation dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_conversation_pairs_hand_computed(spark):
+    from webtext_extraction_spark.operators import conversations
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello"),
+            ("c1", 2, "user", "how are you"),
+            ("c1", 3, "assistant", "fine"),
+            ("c2", 0, "assistant", "opener"),  # no context at idx 0
+        ],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in conversations.conversation_pairs(df, context_turns=2).collect()
+    }
+    assert set(rows) == {("c1", 1), ("c1", 3), ("c2", 0)}
+    assert rows[("c1", 1)]["prompt"] == "user: hi"
+    assert rows[("c1", 1)]["completion"] == "hello"
+    assert rows[("c1", 1)]["n_context"] == 1
+    # context_turns=2 truncates: only turns 1 and 2 remain in window
+    assert rows[("c1", 3)]["prompt"] == "assistant: hello\nuser: how are you"
+    assert rows[("c1", 3)]["n_context"] == 2
+    assert rows[("c2", 0)]["prompt"] == ""
+    assert rows[("c2", 0)]["n_context"] == 0
+
+
+def test_conversation_digest_order_sensitive(spark):
+    from webtext_extraction_spark.operators import conversations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "x"), ("a", 1, "y"),
+            ("b", 0, "x"), ("b", 1, "y"),   # exact dup of a
+            ("c", 0, "y"), ("c", 1, "x"),   # same turns, other order
+        ],
+        ["conv_id", "turn_idx", "text"],
+    )
+    rows = {
+        r["conv_id"]: r for r in conversations.conversation_digest(df).collect()
+    }
+    assert rows["a"]["digest"] == rows["b"]["digest"]
+    assert rows["a"]["digest"] != rows["c"]["digest"]  # order matters
+    assert rows["a"]["is_keeper"] is True
+    assert rows["b"]["is_keeper"] is False
+    assert rows["b"]["keeper_conv"] == "a"
+    assert rows["c"]["is_keeper"] is True
+    assert rows["a"]["n_turns"] == 2
