@@ -148,3 +148,33 @@ def test_url_broad_strips_trailing_curly_quote():
     out = TrackedText.literal(src, 0).sub(_URL_BROAD, "")
     assert "”" not in out.text
     assert out.text == "レシピは  をご覧ください"
+
+
+def test_url_broad_guard_is_implied_by_every_branch():
+    """cleanup_extracted_text skips the _URL_BROAD scan when the text
+    contains neither '/' nor case-insensitive 'www' — sound because
+    every alternation branch requires one of them.  Each branch must
+    still strip through the guarded path, and the implication must
+    hold for whatever the pattern matches."""
+    from webtext_extraction_spark.kernel.cleanup import _URL_BROAD
+
+    # one probe per alternation branch, exercised through the full chain
+    for probe in (
+        "see https://ex.ample/x page",   # branch 1: scheme
+        "see WWW2.example-site.org page",  # branch 2: www\d{0,3}[.] (case-insens)
+        "see ex.ample.net/path page",    # branch 3: bare domain + slash
+    ):
+        out = cleanup_extracted_text(TrackedText.literal(probe, 0))
+        assert out.text == "see  page".strip() or "ample" not in out.text
+    # implication: any matched span contains '/' or 'www'
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abwz09.:-/ \n"
+    for _ in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        m = _URL_BROAD.search(s)
+        if m is not None:
+            assert "/" in s or "www" in s.lower()
+        if "/" not in s and "www" not in s.lower():
+            assert m is None

@@ -201,7 +201,10 @@ def test_exhaustive_small_strings():
     """EVERY string of length <=5 over 10 markup-critical characters
     (111,111 cases, ~3 s) — a complete guarantee for short inputs.
     Lengths 6 and 7 (1M / 10M cases) were run off-suite with zero
-    divergence."""
+    divergence; three further alternate alphabets stressing quoted
+    attributes (`<>&;"=a/!?-`, `<>&;'=a/! \\t`, `<>&#;a"=[-]`) were
+    each run exhaustively through length 6 off-suite (5.8M more
+    cases), also zero divergence."""
     import itertools
 
     alpha = "<>&#;a'/!-"
