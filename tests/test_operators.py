@@ -718,3 +718,48 @@ def test_conversation_digest_order_sensitive(spark):
     assert rows["b"]["keeper_conv"] == "a"
     assert rows["c"]["is_keeper"] is True
     assert rows["a"]["n_turns"] == 2
+
+
+def test_degenerate_size_params_raise(spark):
+    import pytest as _pytest
+
+    from webtext_extraction_spark.operators import contamination, conversations
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        textstats.repetition_profile(df, "doc_id", "text", top_n=0)
+    with _pytest.raises(ValueError):
+        textstats.repetition_profile(df, "doc_id", "text", dup_n=0)
+    with _pytest.raises(ValueError):
+        contamination.decontaminate(df, df, "doc_id", "text", n=0)
+    cdf = spark.createDataFrame([("c", 0, "user", "x")], ["conv_id", "turn_idx", "role", "text"])
+    with _pytest.raises(ValueError):
+        conversations.conversation_pairs(cdf, context_turns=0)
+
+
+def test_conversation_pairs_null_text_is_empty_line(spark):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from webtext_extraction_spark.operators import conversations
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("c", 0, "user", None), ("c", 1, "assistant", "ok")], schema
+    )
+    r = conversations.conversation_pairs(df, context_turns=2).collect()
+    by_idx = {x["turn_idx"]: x for x in r}
+    # NULL context text renders as 'user: ' (kept as a line), matching
+    # the SQL oracle's coalesce(text, '')
+    assert by_idx[1]["prompt"] == "user: "
+    assert by_idx[1]["n_context"] == 1

@@ -38,6 +38,24 @@ def word_set(col) -> Column:
     return F.array_distinct(words(col))
 
 
+def ngrams_of_words(ws: Column, n: int) -> Column:
+    """Sliding space-joined word-n-gram array over a word-array column,
+    empty when the document has fewer than n words.  The single gram
+    constructor shared by dedup.boilerplate_ngrams,
+    textstats.repetition_profile, and contamination.decontaminate —
+    endpoint/empty-word semantics must stay identical across all three
+    and their DuckDB oracles."""
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def strip_urls(col) -> Column:
     """C1 — the first two URL-strip regexes as JVM expressions (the
     third, unicode-quoted pattern lives kernel-side; these two are the

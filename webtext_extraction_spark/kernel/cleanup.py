@@ -143,7 +143,7 @@ def cleanup_extracted_text(tt: TrackedText) -> TrackedText:
     tt = tt.sub(_URL_WWW, "")
     # _URL_BROAD opens with an alternation whose third branch starts in
     # a character class, so re has no literal prefix to fast-scan with
-    # and pays a per-position backtracking walk (~19% of total kernel
+    # and pays a per-position backtracking walk (~17% of total kernel
     # time measured on the bench mix).  Every branch of the pattern
     # requires '/' (https?:// and [.][a-z]{2,4}/) or case-insensitive
     # 'www', so this guard is implied by any possible match: skipping

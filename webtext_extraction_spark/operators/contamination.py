@@ -21,22 +21,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from webtext_extraction_spark.functions.text import portable_hash64, words
+from webtext_extraction_spark.functions.text import (
+    ngrams_of_words,
+    portable_hash64,
+    words,
+)
 
 
 def gram_hash_array(col, n: int) -> Column:
     """Distinct 64-bit hashes of the sliding word-n-grams of ``col``
     (empty when the doc has fewer than n words)."""
-    ws = words(col)
-    return F.when(
-        F.size(ws) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(ws) - n),
-                lambda i: portable_hash64(F.concat_ws(" ", F.slice(ws, i + 1, n))),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(F.transform(ngrams_of_words(words(col), n), portable_hash64))
 
 
 def decontaminate(

@@ -42,14 +42,19 @@ def conversation_pairs(
     The prompt concatenates up to ``context_turns`` immediately
     preceding turns as ``role: text`` lines joined by newlines; turns
     with no preceding context yield an empty prompt (kept — callers
-    filter on n_context if they want multi-turn-only examples).
+    filter on n_context if they want multi-turn-only examples).  NULL
+    turn text is treated as empty string (``role: ``) so the operator
+    and its SQL oracle agree — bare ``concat_ws`` would keep a
+    ``role``-only line where ``||`` would drop the whole line.
     """
+    if context_turns < 1:
+        raise ValueError(f"context_turns must be >= 1, got {context_turns}")
     w = (
         Window.partitionBy(conv_col)
         .orderBy(idx_col)
         .rowsBetween(-context_turns, -1)
     )
-    tagged = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    tagged = F.concat_ws(": ", F.col(role_col), F.coalesce(F.col(text_col), F.lit("")))
     ctx = F.collect_list(tagged).over(w)
     return (
         df.select(
@@ -98,14 +103,14 @@ def conversation_digest(
             ).alias("digest"),
         )
     )
-    keepers = per_conv.groupBy("digest").agg(F.min("_conv").alias("keeper_conv"))
-    return (
-        per_conv.join(keepers, "digest")
-        .select(
-            F.col("_conv").alias(conv_col),
-            "n_turns",
-            "digest",
-            "keeper_conv",
-            (F.col("_conv") == F.col("keeper_conv")).alias("is_keeper"),
-        )
+    # keeper via a window min over the digest partition: one shuffle on
+    # digest, no second aggregate + join back (per_conv rows are tiny —
+    # conv id + digest — so the extra sort inside the window is cheap)
+    keeper = F.min("_conv").over(Window.partitionBy("digest"))
+    return per_conv.select(
+        F.col("_conv").alias(conv_col),
+        "n_turns",
+        "digest",
+        keeper.alias("keeper_conv"),
+        (F.col("_conv") == keeper).alias("is_keeper"),
     )

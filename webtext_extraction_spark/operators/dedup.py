@@ -29,7 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from webtext_extraction_spark.functions.text import portable_hash64, word_set
+from webtext_extraction_spark.functions.text import (
+    ngrams_of_words,
+    portable_hash64,
+    word_set,
+)
 
 # MinHash arithmetic domain — sized so a*h + b never exceeds 2^52:
 # token hashes are reduced mod TOKEN_SPACE (~2^20) and permutation
@@ -311,15 +315,7 @@ def boilerplate_ngrams(
     would be hashed (portable_hash64) before the shuffle to bound key
     width; kept as the string here so the output is human-auditable."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    grams = F.when(
-        F.size(ws) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(ws) - n),
-                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.array_distinct(ngrams_of_words(ws, n))
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
         .groupBy("ngram")

@@ -26,7 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from webtext_extraction_spark.functions.text import portable_hash64, words
+from webtext_extraction_spark.functions.text import (
+    ngrams_of_words,
+    portable_hash64,
+    words,
+)
 
 EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
 FP_MOD = 1_000_000_007
@@ -91,20 +95,6 @@ def fingerprint_expr(col) -> Column:
     )
 
 
-def _gram_array(ws_col: str, n: int) -> Column:
-    """Sliding word-n-gram array (space-joined), empty when the doc has
-    fewer than n words — same construction as dedup.boilerplate_ngrams
-    but WITHOUT the per-doc distinct (repetition needs multiplicities)."""
-    ws = F.col(ws_col)
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def repetition_profile(
     df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 5
 ) -> DataFrame:
@@ -139,6 +129,8 @@ def repetition_profile(
     would blow up on multi-MB documents).  Docs with zero words drop
     out (documented; callers keep them with a left join).
     """
+    if top_n < 1 or dup_n < 1:
+        raise ValueError(f"gram sizes must be >= 1, got top_n={top_n} dup_n={dup_n}")
     base = df.select(
         F.col(id_col).alias("_id"),
         F.length(F.col(text_col)).cast("double").alias("_chars"),
@@ -152,7 +144,8 @@ def repetition_profile(
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
     tag_streams = [
-        F.transform(_gram_array("_ws", n), _tagger(n)) for n in sorted({1, top_n, dup_n})
+        F.transform(ngrams_of_words(F.col("_ws"), n), _tagger(n))
+        for n in sorted({1, top_n, dup_n})
     ]
     tagged = base.select(
         "_id",
