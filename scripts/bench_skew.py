@@ -4,9 +4,15 @@ exists.
 
 Corpus: N normal conversations (4 turns each) + ONE hot conversation
 carrying ~half of all turns — the T04 shape (one domain / conversation
-dominating bytes).  Same ~8 KB HTML payload everywhere so per-row
-extraction cost is constant and the measurement isolates *scheduling*,
-not parsing variance.
+dominating bytes).  Every row gets the same ~8 KB HTML payload PLUS a
+per-(conv, turn) unique paragraph: constant per-row extraction cost
+(isolates *scheduling*, not parsing variance) while defeating the
+batch-local duplicate-payload memo.  With a fully-constant payload the
+memo extracts each partition's copy ONCE and the hot partition stops
+being a straggler at all — good for production (dup-payload skew is
+neutralized shuffle-free) but it turns this benchmark into a
+measurement of pure shuffle overhead (observed 0.3-0.6× "speedup").
+Distinct payloads restore the scenario salting exists for.
 
 Measured at local[K]:
   - salt_hot_keys=False : extraction on input partitions; the hot
@@ -28,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-ARTICLE = (
+ARTICLE_HEAD = (
     "<html><head><title>Skew probe article</title></head><body><main>"
     + "".join(
         f"<p>paragraph {i} with enough prose to make extraction do real "
@@ -36,8 +42,8 @@ ARTICLE = (
         "jumps over the lazy dog while partitions drain unevenly.</p>"
         for i in range(40)
     )
-    + "</main></body></html>"
 )
+ARTICLE_TAIL = "</main></body></html>"
 
 
 def build_skewed(spark, n_normal: int = 1600, hot_turns: int = 6400):
@@ -59,7 +65,15 @@ def build_skewed(spark, n_normal: int = 1600, hot_turns: int = 6400):
         "conv_id",
         F.col("turn_idx").cast("int"),
         F.lit("user").alias("role"),
-        F.lit(ARTICLE).alias("text"),
+        F.concat(
+            F.lit(ARTICLE_HEAD),
+            F.format_string(
+                "<p>unique marker %s turn %d keeps every payload distinct.</p>",
+                F.col("conv_id"),
+                F.col("turn_idx"),
+            ),
+            F.lit(ARTICLE_TAIL),
+        ).alias("text"),
         F.lit("fetch").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
