@@ -12,7 +12,13 @@ a Kafka transcript feed would take).  Three tiers:
   windows emit exactly once (append mode);
 - ``stream_conversation_state`` — applyInPandasWithState: running
   per-conversation counters that survive across micro-batches via the
-  checkpointed state store (the custom-stateful-operator shape).
+  checkpointed state store (the custom-stateful-operator shape);
+- ``stream_training_pairs`` — applyInPandasWithState: incremental
+  (prompt, completion) training-pair assembly, the streaming twin of
+  ``operators.conversations.conversation_pairs`` — per-conversation
+  rolling context (last k role-tagged turns, JSON in the state store)
+  emits a pair the moment an assistant turn arrives, across
+  micro-batch boundaries and restarts.
 
 Exactly-once lands on the file sink's commit log (or the Iceberg
 streaming sink in production).
@@ -211,6 +217,109 @@ def stream_exact_dedup(
 
     writer = (
         deduped.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+PAIRS_OUTPUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", LongType()),
+        StructField("prompt", StringType()),
+        StructField("completion", StringType()),
+        StructField("n_context", LongType()),
+    ]
+)
+
+# the rolling context is a JSON array of role-tagged lines: text can
+# contain any separator (including newlines), so a delimited string
+# state would be ambiguous — JSON keeps it injective
+PAIRS_STATE = StructType([StructField("ctx_json", StringType())])
+
+
+def _make_pairs_state_fn(completion_role: str, context_turns: int):
+    import json
+
+    def _fn(key, pdf_iter, state: GroupState):
+        ctx: list[str] = json.loads(state.get[0]) if state.exists else []
+        out_conv, out_idx, out_prompt, out_compl, out_n = [], [], [], [], []
+        for pdf in pdf_iter:
+            # in-order per conversation within the batch; cross-batch
+            # order = file arrival order (the transcript feed contract)
+            pdf = pdf.sort_values("turn_idx")
+            for row in pdf.itertuples(index=False):
+                text = row.text if isinstance(row.text, str) else ""
+                if row.role == completion_role:
+                    window = ctx[-context_turns:]
+                    out_conv.append(key[0])
+                    out_idx.append(int(row.turn_idx))
+                    out_prompt.append("\n".join(window))
+                    out_compl.append(row.text)
+                    out_n.append(len(window))
+                ctx.append(f"{row.role}: {text}")
+        ctx = ctx[-context_turns:]
+        state.update((json.dumps(ctx),))
+        if out_conv:
+            yield pd.DataFrame(
+                {
+                    "conv_id": out_conv,
+                    "turn_idx": out_idx,
+                    "prompt": out_prompt,
+                    "completion": out_compl,
+                    "n_context": out_n,
+                }
+            )
+
+    return _fn
+
+
+def stream_training_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    completion_role: str = "assistant",
+    context_turns: int = 4,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming (prompt, completion) assembly — emits a training pair
+    the moment a ``completion_role`` turn arrives, with the prompt
+    built from the conversation's last ``context_turns`` turns EVEN
+    when those turns arrived in earlier micro-batches (the rolling
+    context lives in the checkpointed state store, so assembly also
+    survives query restarts).
+
+    Matches ``conversations.conversation_pairs`` row-for-row on an
+    in-order replay of the same transcripts (pinned by
+    tests/test_streaming.py); the batch operator's window frame
+    becomes a per-key rolling list here.  State per conversation is
+    bounded: k role-tagged lines, independent of conversation length.
+    """
+    if context_turns < 1:
+        raise ValueError(f"context_turns must be >= 1, got {context_turns}")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    pairs = stream.groupBy("conv_id").applyInPandasWithState(
+        _make_pairs_state_fn(completion_role, context_turns),
+        outputStructType=PAIRS_OUTPUT,
+        stateStructType=PAIRS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    writer = (
+        pairs.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
