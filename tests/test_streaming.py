@@ -117,7 +117,7 @@ def test_stateful_conversation_counters_accumulate(spark, tmp_path):
 
     q = stream_conversation_state(spark, inp, out, ckpt)
     q.awaitTermination(300)
-    updates = spark.read.parquet(out).collect()
+    updates = spark.read.parquet(out + "/*").collect()
     # state accumulated across micro-batches: final total = 2 + 3 turns
     finals = {}
     for r in updates:
@@ -130,7 +130,7 @@ def test_stateful_conversation_counters_accumulate(spark, tmp_path):
     q2 = stream_conversation_state(spark, inp, out, ckpt)
     q2.awaitTermination(300)
     finals2 = {}
-    for r in spark.read.parquet(out).collect():
+    for r in spark.read.parquet(out + "/*").collect():
         finals2[r["conv_id"]] = max(finals2.get(r["conv_id"], 0), r["turns_seen"])
     assert finals2.get("a") == 9  # 5 carried in state + 4 new
     assert finals2.get("b") == 5  # untouched by the restart
@@ -157,7 +157,7 @@ def test_streaming_exact_dedup_keeps_first_across_batches_and_restarts(spark, tm
 
     q = stream_exact_dedup(spark, inp, out, ckpt)
     q.awaitTermination(300)
-    rows = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    rows = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out + "/*").collect()}
     texts = sorted(t for _, t in rows)
     assert texts == ["textA", "textB", "textC"]
     assert ("c2", "textB") not in rows  # cross-batch dup dropped, first kept
@@ -169,7 +169,7 @@ def test_streaming_exact_dedup_keeps_first_across_batches_and_restarts(spark, tm
     ).coalesce(1).write.mode("append").parquet(inp)
     q2 = stream_exact_dedup(spark, inp, out, ckpt)
     q2.awaitTermination(300)
-    rows2 = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    rows2 = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out + "/*").collect()}
     assert sorted(t for _, t in rows2) == ["textA", "textB", "textC", "textD"]
     assert ("c3", "textB") not in rows2  # dup dropped even after restart
 
@@ -208,7 +208,7 @@ def test_streaming_training_pairs_match_batch_across_batches_and_restart(spark, 
 
     streamed = sorted(
         (r["conv_id"], int(r["turn_idx"]), r["prompt"], r["completion"], int(r["n_context"]))
-        for r in spark.read.parquet(out).collect()
+        for r in spark.read.parquet(out + "/*").collect()
     )
     full = spark.createDataFrame(rows(range(0, 8)), schema)
     batch = sorted(
@@ -224,4 +224,55 @@ def test_streaming_training_pairs_match_batch_across_batches_and_restart(spark, 
     # restart on the same checkpoint: no new input, no new rows
     q2 = stream_training_pairs(spark, inp + "/*", out, ckpt, context_turns=3)
     q2.awaitTermination(300)
-    assert spark.read.parquet(out).count() == len(streamed)
+    assert spark.read.parquet(out + "/*").count() == len(streamed)
+
+
+def test_streaming_pairs_chunked_groups_and_null_fields_match_batch(spark, tmp_path):
+    """Two review-found hazards pinned: (1) a group delivered as
+    MULTIPLE Arrow chunks with shuffled row order must still assemble
+    in turn order (per-chunk sorting would interleave wrongly);
+    (2) NULL role follows concat_ws semantics (line = bare text) and
+    NULL turn_idx doesn't crash — both matching the batch operator."""
+    from webtext_extraction_spark.operators.conversations import conversation_pairs
+    from webtext_extraction_spark.streaming.stream import stream_training_pairs
+
+    inp = str(tmp_path / "ck_in")
+    out = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    rows = [
+        ("c0", t, None if t == 2 else ("user" if t % 2 == 0 else "assistant"),
+         f"text {t}", "fetch", t0)
+        for t in range(10)
+    ]
+    import random as _random
+
+    _random.Random(3).shuffle(rows)  # file order != turn order
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    full = spark.createDataFrame(rows, schema)
+    full.coalesce(1).write.parquet(inp + "/f1")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        q = stream_training_pairs(spark, inp + "/*", out, ckpt, context_turns=4)
+        q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    streamed = sorted(
+        (r["conv_id"], r["turn_idx"], r["prompt"], r["completion"], int(r["n_context"]))
+        for r in spark.read.parquet(out + "/*").collect()
+    )
+    batch = sorted(
+        (r["conv_id"], r["turn_idx"], r["prompt"], r["completion"], int(r["n_context"]))
+        for r in conversation_pairs(full, context_turns=4).collect()
+    )
+    assert streamed == batch
+    # the NULL-role turn appears in some prompt as a bare-text line
+    assert any("\ntext 2\n" in p or p.startswith("text 2\n") or "\ntext 2" in p
+               for _, _, p, _, _ in streamed)

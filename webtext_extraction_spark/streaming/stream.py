@@ -20,8 +20,13 @@ a Kafka transcript feed would take).  Three tiers:
   emits a pair the moment an assistant turn arrives, across
   micro-batch boundaries and restarts.
 
-Exactly-once lands on the file sink's commit log (or the Iceberg
-streaming sink in production).
+Exactly-once: the stateless/windowed queries use the parquet file
+sink's commit log directly; the foreachBatch stateful queries write
+each micro-batch to its own ``batch_<id>`` subdirectory with
+overwrite (``_start_idempotent_append``) so a batch replayed after a
+crash between data write and checkpoint commit overwrites itself
+instead of appending duplicates (in production the same hook is an
+Iceberg MERGE keyed on batch id).
 """
 
 from __future__ import annotations
@@ -212,13 +217,32 @@ def stream_exact_dedup(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+    return _start_idempotent_append(deduped, output_dir, checkpoint_dir, available_now)
+
+
+def _start_idempotent_append(
+    df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """foreachBatch parquet sink with REPLAY-SAFE writes: each
+    micro-batch lands in its own ``batch_<id>`` subdirectory with
+    mode=overwrite, so a batch reprocessed after a crash between the
+    data write and the checkpoint commit OVERWRITES its own previous
+    output instead of appending duplicates (plain ``mode('append')``
+    to one directory re-emits the batch on such a restart —
+    foreachBatch bypasses the file sink's commit log).  Read the
+    output with ``spark.read.parquet(output_dir + "/*")``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_{batch_id:08d}")
 
     writer = (
-        deduped.writeStream.foreachBatch(_sink)
+        df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+        .outputMode(output_mode)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -247,20 +271,29 @@ def _make_pairs_state_fn(completion_role: str, context_turns: int):
     def _fn(key, pdf_iter, state: GroupState):
         ctx: list[str] = json.loads(state.get[0]) if state.exists else []
         out_conv, out_idx, out_prompt, out_compl, out_n = [], [], [], [], []
-        for pdf in pdf_iter:
-            # in-order per conversation within the batch; cross-batch
-            # order = file arrival order (the transcript feed contract)
-            pdf = pdf.sort_values("turn_idx")
-            for row in pdf.itertuples(index=False):
+        # the group's rows arrive as MULTIPLE Arrow chunks with
+        # arbitrary within-group order — a per-chunk sort would
+        # interleave wrongly across chunk boundaries, so concatenate
+        # first.  na_position='first' matches Spark orderBy NULLS FIRST
+        # in the batch operator's window.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values(
+                "turn_idx", na_position="first"
+            )
+            for row in whole.itertuples(index=False):
                 text = row.text if isinstance(row.text, str) else ""
-                if row.role == completion_role:
+                role = row.role if isinstance(row.role, str) else None
+                if role == completion_role:
                     window = ctx[-context_turns:]
                     out_conv.append(key[0])
-                    out_idx.append(int(row.turn_idx))
+                    out_idx.append(None if pd.isna(row.turn_idx) else int(row.turn_idx))
                     out_prompt.append("\n".join(window))
                     out_compl.append(row.text)
                     out_n.append(len(window))
-                ctx.append(f"{row.role}: {text}")
+                # concat_ws semantics: a NULL role drops out entirely
+                # (line is just the text), NULL text renders as ''
+                ctx.append(text if role is None else f"{role}: {text}")
         ctx = ctx[-context_turns:]
         state.update((json.dumps(ctx),))
         if out_conv:
@@ -315,17 +348,7 @@ def stream_training_pairs(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
-
-    writer = (
-        pairs.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_idempotent_append(pairs, output_dir, checkpoint_dir, available_now)
 
 
 def stream_conversation_state(
@@ -360,14 +383,6 @@ def stream_conversation_state(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
-
-    writer = (
-        updates.writeStream.foreachBatch(_upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _start_idempotent_append(
+        updates, output_dir, checkpoint_dir, available_now, output_mode="update"
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
