@@ -763,3 +763,20 @@ def test_conversation_pairs_null_text_is_empty_line(spark):
     # the SQL oracle's coalesce(text, '')
     assert by_idx[1]["prompt"] == "user: "
     assert by_idx[1]["n_context"] == 1
+
+
+def test_pack_sequences_hand_computed(spark):
+    import pytest as _pytest
+
+    # tokens: a=3, b=4, c=2, d=5 ; budget=6
+    # exclusive cumsum: a:0 b:3 c:7 d:9 -> bins a,b=0 c,d=1
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "p q r s"), (2, "m n"), (3, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in textstats.pack_sequences(df, "doc_id", "text", budget=6).collect()}
+    assert [rows[i]["bin_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert rows[0]["bin_tokens"] == 7 and rows[0]["bin_docs"] == 2  # straddle: 3+4 > 6
+    assert rows[2]["bin_tokens"] == 7 and rows[2]["bin_docs"] == 2
+    with _pytest.raises(ValueError):
+        textstats.pack_sequences(df, "doc_id", "text", budget=0)

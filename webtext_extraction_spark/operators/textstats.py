@@ -24,7 +24,7 @@ models:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from webtext_extraction_spark.functions.text import (
     ngrams_of_words,
@@ -189,6 +189,58 @@ def repetition_profile(
         F.round(F.col("dup_gram_mass") / F.col("_chars"), 6)
         .cast("double")
         .alias("dup_ngram_char_frac"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget
+    training bins — the standard pre-training batching step (pack
+    short docs together so sequences waste no pad tokens).
+
+    True first-fit packing is sequential; the distributable rule used
+    here is deterministic contiguous chunking over a stable order
+    (``order_col``, default the id): bin k holds the docs whose
+    EXCLUSIVE running token sum starts in [k*budget, (k+1)*budget).
+    A document straddling a boundary stays in the bin it started in,
+    so bins can exceed the budget by at most one document — the
+    documented trade for a single window pass (an exact
+    budget-resetting cumsum is non-associative and cannot be a
+    distributed scan).
+
+    Shape: ONE shuffle (the global order window).  At 100 TB you'd
+    range-partition on the order key first so the running sum is
+    computed per range with per-partition offsets — same rule, same
+    output; this operator is the single-window formulation.
+
+    Output: one row per doc (id, tokens, bin_id) plus per-bin rollups
+    (bin_tokens, bin_docs) — callers group by bin_id to materialize.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    order = order_col or id_col
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    toks = F.size(words(F.col(text_col)))
+    cols = [F.col(id_col), toks.alias("tokens")]
+    if order != id_col:
+        cols.append(F.col(order))
+    base = df.select(*cols)
+    binned = base.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / budget).cast("bigint"),
+    )
+    wb = Window.partitionBy("bin_id")
+    return binned.select(
+        id_col,
+        "tokens",
+        "bin_id",
+        F.sum("tokens").over(wb).cast("long").alias("bin_tokens"),
+        F.count("*").over(wb).cast("long").alias("bin_docs"),
     )
 
 
