@@ -766,8 +766,6 @@ def test_conversation_pairs_null_text_is_empty_line(spark):
 
 
 def test_pack_sequences_hand_computed(spark):
-    import pytest as _pytest
-
     # tokens: a=3, b=4, c=2, d=5 ; budget=6
     # exclusive cumsum: a:0 b:3 c:7 d:9 -> bins a,b=0 c,d=1
     df = spark.createDataFrame(
@@ -778,5 +776,22 @@ def test_pack_sequences_hand_computed(spark):
     assert [rows[i]["bin_id"] for i in range(4)] == [0, 0, 1, 1]
     assert rows[0]["bin_tokens"] == 7 and rows[0]["bin_docs"] == 2  # straddle: 3+4 > 6
     assert rows[2]["bin_tokens"] == 7 and rows[2]["bin_docs"] == 2
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         textstats.pack_sequences(df, "doc_id", "text", budget=0)
+
+
+def test_pack_sequences_nonunique_order_tiebreaks_by_id(spark):
+    # all rows tie on order_col -> positions must fall back to id order
+    df = spark.createDataFrame(
+        [(0, "x y z", "same"), (1, "p q r s", "same"), (2, "m n", "same"), (3, "a b c d e", "same")],
+        ["doc_id", "text", "grp"],
+    )
+    via_grp = {
+        r["doc_id"]: r["bin_id"]
+        for r in textstats.pack_sequences(df, "doc_id", "text", budget=6, order_col="grp").collect()
+    }
+    via_id = {
+        r["doc_id"]: r["bin_id"]
+        for r in textstats.pack_sequences(df, "doc_id", "text", budget=6).collect()
+    }
+    assert via_grp == via_id

@@ -224,7 +224,11 @@ def pack_sequences(
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     order = order_col or id_col
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    # id tiebreak: a non-unique caller order key would otherwise make
+    # positions inside the ROWS frame partition-order-dependent and
+    # break the operator's determinism contract
+    order_keys = [order] if order == id_col else [order, id_col]
+    w = Window.orderBy(*order_keys).rowsBetween(Window.unboundedPreceding, -1)
     toks = F.size(words(F.col(text_col)))
     cols = [F.col(id_col), toks.alias("tokens")]
     if order != id_col:
@@ -232,15 +236,15 @@ def pack_sequences(
     base = df.select(*cols)
     binned = base.withColumn(
         "bin_id",
-        F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / budget).cast("bigint"),
+        F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / budget),
     )
     wb = Window.partitionBy("bin_id")
     return binned.select(
         id_col,
         "tokens",
         "bin_id",
-        F.sum("tokens").over(wb).cast("long").alias("bin_tokens"),
-        F.count("*").over(wb).cast("long").alias("bin_docs"),
+        F.sum("tokens").over(wb).alias("bin_tokens"),
+        F.count("*").over(wb).alias("bin_docs"),
     )
 
 
