@@ -795,3 +795,66 @@ def test_pack_sequences_nonunique_order_tiebreaks_by_id(spark):
         for r in textstats.pack_sequences(df, "doc_id", "text", budget=6).collect()
     }
     assert via_grp == via_id
+
+
+def test_new_operator_invariants_on_random_corpus(spark):
+    """Property sweep over a seeded random corpus: metric bounds,
+    packing completeness/contiguity, decontamination set sanity."""
+    import random as _random
+
+    from webtext_extraction_spark.operators import contamination
+
+    rng = _random.Random(42)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "g", "hh"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    rep = textstats.repetition_profile(df, "doc_id", "text").collect()
+    nonempty = {i for i, t in docs if t.split()}
+    assert {r["doc_id"] for r in rep} == nonempty
+    for r in rep:
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_word_char_frac"] <= 1.0
+        assert r["top_ngram_char_frac"] >= 0.0
+        assert r["dup_ngram_char_frac"] >= 0.0  # documented: can exceed 1
+
+    bench = spark.createDataFrame(docs[30:], ["doc_id", "text"])
+    dec = contamination.decontaminate(df, bench, "doc_id", "text", n=3).collect()
+    assert {r["doc_id"] for r in dec} == {i for i, _ in docs}  # every doc kept
+    for r in dec:
+        assert 0 <= r["hit_grams"] <= r["n_grams"]
+        assert 0.0 <= r["contamination_frac"] <= 1.0
+        assert r["contaminated"] == (r["hit_grams"] > 0)
+    # bench docs score as fully contaminated against themselves when
+    # they have any grams at all
+    for r in dec:
+        if r["doc_id"] >= 30 and r["n_grams"] > 0:
+            assert r["contamination_frac"] == 1.0
+
+    packed = textstats.pack_sequences(df, "doc_id", "text", budget=20).collect()
+    assert {r["doc_id"] for r in packed} == {i for i, _ in docs}  # complete
+    by_id = sorted(packed, key=lambda r: r["doc_id"])
+    bins = [r["bin_id"] for r in by_id]
+    assert bins == sorted(bins)  # contiguous in pack order
+    # per-bin rollups agree with the row-level tokens
+    from collections import defaultdict
+
+    tok_sum, doc_n = defaultdict(int), defaultdict(int)
+    for r in by_id:
+        tok_sum[r["bin_id"]] += r["tokens"]
+        doc_n[r["bin_id"]] += 1
+    for r in by_id:
+        assert r["bin_tokens"] == tok_sum[r["bin_id"]]
+        assert r["bin_docs"] == doc_n[r["bin_id"]]
+    # every bin except possibly the last STARTED before its boundary:
+    # exclusive start offset of each bin's first doc < (k+1)*budget
+    start = 0
+    cur = None
+    for r in by_id:
+        if r["bin_id"] != cur:
+            cur = r["bin_id"]
+            assert cur * 20 <= start < (cur + 1) * 20
+        start += r["tokens"]
