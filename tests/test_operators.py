@@ -858,3 +858,32 @@ def test_new_operator_invariants_on_random_corpus(spark):
             cur = r["bin_id"]
             assert cur * 20 <= start < (cur + 1) * 20
         start += r["tokens"]
+
+
+def test_remove_boilerplate_hand_computed(spark):
+    # 'subscribe to our newsletter' (4 words) appears in 3 docs ->
+    # boilerplate at n=3 min_docs=3 via its two 3-gram windows; the
+    # 2-doc phrase 'rare shared phrase' must survive
+    df = spark.createDataFrame(
+        [
+            (0, "alpha subscribe to our newsletter beta"),
+            (1, "subscribe to our newsletter gamma delta"),
+            (2, "epsilon zeta subscribe to our newsletter"),
+            (3, "rare shared phrase one"),
+            (4, "rare shared phrase two"),
+            (5, "xy zz"),  # shorter than n: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.remove_boilerplate(df, "doc_id", "text", n=3, min_docs=3).collect()
+    }
+    assert rows[0]["cleaned_text"] == "alpha beta"
+    assert rows[1]["cleaned_text"] == "gamma delta"
+    assert rows[2]["cleaned_text"] == "epsilon zeta"
+    assert rows[0]["n_removed_words"] == 4
+    assert rows[0]["removed_frac"] == round(4 / 6, 6)
+    assert rows[3]["cleaned_text"] == "rare shared phrase one"  # only 2 docs
+    assert rows[5]["cleaned_text"] == "xy zz"
+    assert rows[5]["n_removed_words"] == 0

@@ -324,6 +324,70 @@ def boilerplate_ngrams(
     )
 
 
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Strip cross-document boilerplate spans from each document — the
+    removal action over :func:`boilerplate_ngrams`' detection: every
+    word position covered by an n-gram occurring in >= ``min_docs``
+    documents is dropped, the survivors are re-joined with single
+    spaces.
+
+    Shape: the boilerplate gram set is small by construction (grows
+    only with *repeated* content) and is BROADCAST; the document side
+    is one gram explode -> broadcast semi-join -> covered-position
+    fan-out -> groupBy(doc) collect_set, then a filter HOF keeps
+    un-covered words (the two-arg (element, index) lambda form —
+    deliberately, unlike the tagging bug this codebase once hit).  Two
+    passes over the text column total (one to learn the gram set, one
+    to apply it) — the gram set is a per-snapshot artifact like the
+    rule table, learned once and reused.
+
+    Output: one row per input doc — (id, cleaned_text, n_words,
+    n_removed_words, removed_frac).
+    """
+    boiler = boilerplate_ngrams(df, id_col, text_col, n=n, min_docs=min_docs).select(
+        "ngram"
+    )
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col).alias("_id"), ws.alias("_ws"))
+    # posexplode of the gram array: the emitted position IS the gram's
+    # word offset, and the word array itself is not replicated per row
+    pos = base.select(
+        "_id",
+        F.posexplode(ngrams_of_words(F.col("_ws"), n)).alias("p", "ngram"),
+    )
+    covered = (
+        pos.join(F.broadcast(boiler), "ngram", "left_semi")
+        .select("_id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("ci"))
+        .groupBy("_id")
+        .agg(F.collect_set("ci").alias("_covered"))
+    )
+    joined = base.join(covered, "_id", "left").withColumn(
+        "_covered", F.coalesce("_covered", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_ws"), lambda w, i: ~F.array_contains(F.col("_covered"), i.cast("int"))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+        F.size("_ws").alias("n_words"),
+        (F.size("_ws") - F.size(kept)).alias("n_removed_words"),
+        F.round(
+            (F.size("_ws") - F.size(kept))
+            / F.greatest(F.size("_ws"), F.lit(1)).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("removed_frac"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
