@@ -204,7 +204,9 @@ def test_exhaustive_small_strings():
     divergence; three further alternate alphabets stressing quoted
     attributes (`<>&;"=a/!?-`, `<>&;'=a/! \\t`, `<>&#;a"=[-]`) were
     each run exhaustively through length 6 off-suite (5.8M more
-    cases), also zero divergence."""
+    cases), also zero divergence; the quoted-attribute alphabet
+    (`<>&;"=a/!?-`) additionally ran exhaustively at length 7
+    (19.5M cases), zero divergence."""
     import itertools
 
     alpha = "<>&#;a'/!-"

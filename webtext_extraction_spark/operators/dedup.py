@@ -33,6 +33,7 @@ from webtext_extraction_spark.functions.text import (
     ngrams_of_words,
     portable_hash64,
     word_set,
+    words,
 )
 
 # MinHash arithmetic domain — sized so a*h + b never exceeds 2^52:
@@ -314,8 +315,7 @@ def boilerplate_ngrams(
     shuffle whose keys shrink as min_docs rises.  At 100 TB the gram
     would be hashed (portable_hash64) before the shuffle to bound key
     width; kept as the string here so the output is human-auditable."""
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    grams = F.array_distinct(ngrams_of_words(ws, n))
+    grams = F.array_distinct(ngrams_of_words(words(F.col(text_col)), n))
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
         .groupBy("ngram")
@@ -342,10 +342,16 @@ def remove_boilerplate(
     is one gram explode -> broadcast semi-join -> covered-position
     fan-out -> groupBy(doc) collect_set, then a filter HOF keeps
     un-covered words (the two-arg (element, index) lambda form —
-    deliberately, unlike the tagging bug this codebase once hit).  Two
-    passes over the text column total (one to learn the gram set, one
-    to apply it) — the gram set is a per-snapshot artifact like the
-    rule table, learned once and reused.
+    deliberately, unlike the tagging bug this codebase once hit).
+    Cost model, stated honestly: as written the text column is scanned
+    THREE times — once for the detection pass and once for each of the
+    two branches the tokenized base feeds (gram-marking and rebuild),
+    since Spark recomputes an uncached lineage per consumer.  In
+    production the gram set is a per-snapshot artifact like the rule
+    table (learn once, persist, reuse), and persisting the tokenized
+    base (or re-tokenizing in the rebuild projection) brings the apply
+    side to one scan; this operator keeps the dependency-free
+    formulation.  NULL text is treated as the empty document.
 
     Output: one row per input doc — (id, cleaned_text, n_words,
     n_removed_words, removed_frac).
@@ -353,8 +359,10 @@ def remove_boilerplate(
     boiler = boilerplate_ngrams(df, id_col, text_col, n=n, min_docs=min_docs).select(
         "ngram"
     )
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    base = df.select(F.col(id_col).alias("_id"), ws.alias("_ws"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
+    )
     # posexplode of the gram array: the emitted position IS the gram's
     # word offset, and the word array itself is not replicated per row
     pos = base.select(
