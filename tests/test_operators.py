@@ -887,3 +887,47 @@ def test_remove_boilerplate_hand_computed(spark):
     assert rows[3]["cleaned_text"] == "rare shared phrase one"  # only 2 docs
     assert rows[5]["cleaned_text"] == "xy zz"
     assert rows[5]["n_removed_words"] == 0
+
+
+def test_new_ops_null_text_behavior(spark):
+    """NULL payloads pinned across the new operators (cross-engine
+    parity class: Spark size(NULL)/DuckDB len(NULL) both propagate
+    NULL into the documented drop/empty behavior)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from webtext_extraction_spark.operators import contamination, conversations
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(0, None), (1, "a b c d e f")], schema)
+
+    rep = textstats.repetition_profile(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in rep} == {1}  # NULL text drops like empty
+
+    dec = contamination.decontaminate(df, df, "doc_id", "text", n=4).collect()
+    by_id = {r["doc_id"]: r for r in dec}
+    assert by_id[0]["n_grams"] == 0 and by_id[0]["contaminated"] is False
+    assert by_id[1]["contaminated"] is True  # self-bench
+
+    rb = dedup.remove_boilerplate(df, "doc_id", "text", n=3, min_docs=2).collect()
+    by_id = {r["doc_id"]: r for r in rb}
+    assert by_id[0]["cleaned_text"] == "" and by_id[0]["n_words"] == 0
+
+    cschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    cdf = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, "x"), ("b", 0, "x")], cschema
+    )
+    dg = {r["conv_id"]: r for r in conversations.conversation_digest(cdf).collect()}
+    # NULL turn hash drops from the digest (concat_ws skips NULLs),
+    # so conv 'a' (NULL + 'x') digests equal to conv 'b' ('x') — the
+    # documented engine behavior, identical to the SQL oracle's
+    # NULL-skipping string_agg
+    assert dg["a"]["digest"] == dg["b"]["digest"]
+    assert dg["a"]["n_turns"] == 2 and dg["b"]["n_turns"] == 1
