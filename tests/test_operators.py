@@ -931,3 +931,40 @@ def test_new_ops_null_text_behavior(spark):
     # NULL-skipping string_agg
     assert dg["a"]["digest"] == dg["b"]["digest"]
     assert dg["a"]["n_turns"] == 2 and dg["b"]["n_turns"] == 1
+
+
+def test_sample_mix_deterministic_and_rate_accurate(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "src%d" % (i % 2)) for i in range(400)], ["doc_id", "source"]
+    )
+    kept = textstats.sample_mix(
+        df, "doc_id", "source", rates={"src0": 0.3}, default_rate=1.0
+    ).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # python replay of the ticket rule — exact row-level agreement
+    def ticket(i):
+        return int(hashlib.md5(f"mix-v1|{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expect = sorted(
+        i for i in range(400)
+        if (ticket(i) < 300_000 if i % 2 == 0 else True)
+    )
+    assert ids == expect
+    n_src0 = sum(1 for i in ids if i % 2 == 0)
+    assert 40 <= n_src0 <= 80  # ~60 expected of 200 at 30%
+    assert sum(1 for i in ids if i % 2 == 1) == 200  # default rate keeps all
+    # salt independence: different salt -> different (not disjointness-
+    # guaranteed, but non-identical) sample of src0
+    kept2 = {
+        r["doc_id"]
+        for r in textstats.sample_mix(
+            df, "doc_id", "source", rates={"src0": 0.3}, salt="mix-v2"
+        ).collect()
+    }
+    assert kept2 != set(ids)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        textstats.sample_mix(df, "doc_id", "source", rates={"src0": 1.5})

@@ -248,6 +248,43 @@ def pack_sequences(
     )
 
 
+SAMPLE_SPACE = 1_000_000
+
+
+def sample_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-source subsampling — the data-mixing step of
+    a training pipeline (down-weight overrepresented sources to hit a
+    target mixture).  A row survives iff
+    ``portable_hash64(salt‖id) % 1e6 < rate(source) * 1e6``: no RNG,
+    so the SAME rows survive on every engine, every run, and every
+    cluster size — re-runs and oracle checks are exact, and changing
+    ``salt`` draws an independent sample.  Pure column expressions,
+    zero shuffle (the decision is per-row); rates ride a CASE
+    expression, not a join, since mixtures have few sources.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate_col = F.lit(default_rate)
+    for s, r in rates.items():
+        rate_col = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate_col)
+    ticket = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    ) % SAMPLE_SPACE
+    return df.withColumn("_rate", rate_col).filter(
+        ticket < (F.col("_rate") * SAMPLE_SPACE).cast("long")
+    ).drop("_rate")
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
     out = token_counts(df, text_col)
