@@ -237,3 +237,72 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS bk_transcripts")
         spark.sql("DROP TABLE IF EXISTS bk_extracted")
+
+
+def _node_ids(plan: str, node: str) -> int:
+    # the tree line is "<node> [<table>] (<id>)" — the optional table
+    # identifier (empty for path reads → double space) sits between
+    import re as _re
+
+    return len(set(_re.findall(rf"{node}[^\n(]*\((\d+)\)", plan)))
+
+
+def test_repetition_profile_single_payload_scan(spark, tmp_path):
+    """All gram sizes must come from ONE scan of the text column — a
+    per-n union would rescan the 100 TB payload once per gram size."""
+    from webtext_extraction_spark.operators.textstats import repetition_profile
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(8)], ["doc_id", "text"]
+    ).write.parquet(p)
+    plan = _plan(repetition_profile(spark.read.parquet(p), "doc_id", "text"))
+    assert _node_ids(plan, "Scan parquet") == 1
+
+
+def test_decontaminate_broadcasts_bench_and_never_shuffles_payload(spark, tmp_path):
+    """Bench gram set broadcast; the only Exchange carries the tiny
+    (doc_id, counters) aggregate — the payload never shuffles."""
+    from webtext_extraction_spark.operators.contamination import decontaminate
+
+    p = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(i, "w x y z q r s t u v") for i in range(8)], ["doc_id", "text"]
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _plan(decontaminate(docs, docs, "doc_id", "text", n=4))
+    assert _node_ids(plan, "BroadcastExchange") >= 1
+    # no Exchange may carry the text column
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
+
+
+def test_sample_mix_is_shuffle_free(spark, tmp_path):
+    from webtext_extraction_spark.operators.textstats import sample_mix
+
+    p = str(tmp_path / "docs3")
+    spark.createDataFrame(
+        [(i, "src%d" % (i % 3)) for i in range(9)], ["doc_id", "source"]
+    ).write.parquet(p)
+    plan = _plan(sample_mix(spark.read.parquet(p), "doc_id", "source", {"src0": 0.5}))
+    assert _node_ids(plan, "Exchange") == 0
+    assert _node_ids(plan, "ArrowEvalPython") == 0  # pure column expressions
+
+
+def test_conversation_digest_shuffles_digests_not_payloads(spark, tmp_path):
+    """The groupBy(conv) aggregate must shuffle (idx, md5) structs —
+    the text column itself stays out of every Exchange."""
+    from webtext_extraction_spark.operators.conversations import conversation_digest
+
+    p = str(tmp_path / "convs")
+    spark.createDataFrame(
+        [("c%d" % (i % 3), i, "payload text %d" % i) for i in range(9)],
+        ["conv_id", "turn_idx", "text"],
+    ).write.parquet(p)
+    plan = _plan(conversation_digest(spark.read.parquet(p)))
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
