@@ -925,16 +925,17 @@ def test_new_ops_null_text_behavior(spark):
         [("a", 0, None), ("a", 1, "x"), ("b", 0, "x")], cschema
     )
     dg = {r["conv_id"]: r for r in conversations.conversation_digest(cdf).collect()}
-    # NULL turn hash drops from the digest (concat_ws skips NULLs),
-    # so conv 'a' (NULL + 'x') digests equal to conv 'b' ('x') — the
-    # documented engine behavior, identical to the SQL oracle's
-    # NULL-skipping string_agg
-    assert dg["a"]["digest"] == dg["b"]["digest"]
+    # a NULL turn hashes to the 'null' sentinel, so [NULL, 'x'] must
+    # NOT collide with ['x'] — the digest stays injective over turn
+    # sequences (review-found: the earlier concat_ws NULL-skip made
+    # these equal and dedup would have dropped a distinct conversation)
+    assert dg["a"]["digest"] != dg["b"]["digest"]
     assert dg["a"]["n_turns"] == 2 and dg["b"]["n_turns"] == 1
+    assert dg["a"]["is_keeper"] is True and dg["b"]["is_keeper"] is True
 
 
 def test_sample_mix_deterministic_and_rate_accurate(spark):
-    import hashlib
+    from webtext_extraction_spark.functions.text import portable_hash64_py
 
     df = spark.createDataFrame(
         [(i, "src%d" % (i % 2)) for i in range(400)], ["doc_id", "source"]
@@ -945,7 +946,7 @@ def test_sample_mix_deterministic_and_rate_accurate(spark):
     ids = sorted(r["doc_id"] for r in kept)
     # python replay of the ticket rule — exact row-level agreement
     def ticket(i):
-        return int(hashlib.md5(f"mix-v1|{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return portable_hash64_py(f"mix-v1|{i}") % 1_000_000
 
     expect = sorted(
         i for i in range(400)
@@ -968,3 +969,26 @@ def test_sample_mix_deterministic_and_rate_accurate(spark):
 
     with _p.raises(ValueError):
         textstats.sample_mix(df, "doc_id", "source", rates={"src0": 1.5})
+
+
+def test_sample_mix_threshold_rounds_and_drops_null_ids(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from webtext_extraction_spark.functions.text import portable_hash64_py
+
+    # 0.000498 * 1e6 is 497.99999999999994 in double: truncation would
+    # give threshold 497, rounding (the contract) gives 498 — plant an
+    # id whose ticket is exactly 497 and assert it survives
+    target = next(
+        i for i in range(100000)
+        if portable_hash64_py(f"mix-v1|{i}") % 1_000_000 == 497
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("source", StringType())]
+    )
+    df = spark.createDataFrame([(target, "s"), (None, "s")], schema)
+    kept = textstats.sample_mix(df, "doc_id", "source", rates={"s": 0.000498}).collect()
+    assert [r["doc_id"] for r in kept] == [target]
+    # the NULL-id row's ticket is NULL -> dropped regardless of rate
+    kept_all = textstats.sample_mix(df, "doc_id", "source", rates={}, default_rate=1.0).collect()
+    assert [r["doc_id"] for r in kept_all] == [target]

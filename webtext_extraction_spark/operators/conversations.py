@@ -86,12 +86,19 @@ def conversation_digest(
     Returns one row per conversation: (conv_id, n_turns, digest,
     keeper_conv, is_keeper) where keeper_conv is the smallest conv_id
     sharing the digest.  array_sort over (idx, md5(text)) structs makes
-    the digest independent of shuffle arrival order.
+    the digest independent of shuffle arrival order.  A NULL turn text
+    hashes to the literal 'null' (4 chars — can never collide with a
+    32-hex md5), keeping the digest INJECTIVE over turn sequences:
+    without it concat_ws would skip the NULL and [NULL, 'x'] would
+    digest equal to ['x'], silently deduping distinct conversations.
     """
     per_conv = (
         df.select(
             F.col(conv_col).alias("_conv"),
-            F.struct(F.col(idx_col).alias("idx"), F.md5(text_col).alias("h")).alias("_t"),
+            F.struct(
+                F.col(idx_col).alias("idx"),
+                F.coalesce(F.md5(text_col), F.lit("null")).alias("h"),
+            ).alias("_t"),
         )
         .groupBy("_conv")
         .agg(

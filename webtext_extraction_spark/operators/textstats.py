@@ -274,15 +274,21 @@ def sample_mix(
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    rate_col = F.lit(default_rate)
+    # thresholds become INTEGER literals driver-side: a runtime
+    # `rate * 1e6` cast would TRUNCATE the double product (e.g.
+    # 0.000498 * 1e6 = 497.99999...94 -> 497) while decimal engines
+    # round — int(round()) here is the single cross-engine source of
+    # truth, and folding the CASE into the filter avoids clobbering
+    # any user column
+    threshold = F.lit(int(round(default_rate * SAMPLE_SPACE)))
     for s, r in rates.items():
-        rate_col = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate_col)
+        threshold = F.when(
+            F.col(source_col) == s, F.lit(int(round(r * SAMPLE_SPACE)))
+        ).otherwise(threshold)
     ticket = portable_hash64(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     ) % SAMPLE_SPACE
-    return df.withColumn("_rate", rate_col).filter(
-        ticket < (F.col("_rate") * SAMPLE_SPACE).cast("long")
-    ).drop("_rate")
+    return df.filter(ticket < threshold)
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
