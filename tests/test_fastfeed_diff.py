@@ -206,7 +206,9 @@ def test_exhaustive_small_strings():
     each run exhaustively through length 6 off-suite (5.8M more
     cases), also zero divergence; the quoted-attribute alphabet
     (`<>&;"=a/!?-`) additionally ran exhaustively at length 7
-    (19.5M cases), zero divergence."""
+    (19.5M cases), and a PI/CDATA-bracket alphabet (`<>![CD/]?-a`)
+    through length 6 plus 30k long random markup-soup strings — all
+    zero divergence."""
     import itertools
 
     alpha = "<>&#;a'/!-"
