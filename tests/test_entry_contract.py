@@ -30,3 +30,29 @@ def test_no_duplicate_keys_in_contract_dicts():
 def test_query_callables_are_distinct():
     fns = list(entrymod.queries().values())
     assert len(fns) == len(set(fns)), "two query names map to the same callable"
+
+
+def test_gate_canonicalizer_detects_drift():
+    """Meta-test for the driver-gate replica itself: the row
+    canonicalization must be column-order-insensitive but VALUE- and
+    row-count-sensitive — otherwise a green gate proves nothing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracles", "/root/repo/scripts/check_oracles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rows = [(1, 0.5, "x"), (2, 0.25, "y")]
+    a = mod.norm_rows(["id", "val", "tag"], rows)
+    # column permutation with matching values -> identical
+    b = mod.norm_rows(["val", "tag", "id"], [(0.5, "x", 1), (0.25, "y", 2)])
+    assert a == b
+    # a single perturbed float beyond 1e-6 -> different
+    c = mod.norm_rows(["id", "val", "tag"], [(1, 0.500001, "x"), (2, 0.25, "y")])
+    assert a != c
+    # row order must NOT matter; bool/None normalize stably
+    d = mod.norm_rows(["id", "val", "tag"], list(reversed(rows)))
+    assert a == d
+    assert mod.norm_cell(True) == "true" and mod.norm_cell(None) == "None"
