@@ -10,6 +10,9 @@ strings for the fully-predictable archetypes).
 
 import json
 import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from webtext_extraction_spark.fixtures_pages import ARCHETYPES
 from webtext_extraction_spark.kernel.extract import extract_payload
