@@ -38,6 +38,17 @@ def word_set(col) -> Column:
     return F.array_distinct(words(col))
 
 
+def hashed_word_set(col) -> Column:
+    """Distinct word tokens hashed to int64 (``portable_hash64``) —
+    the shuffle-narrow representation of a document's word set: 8-byte
+    ints ride the shuffle instead of full word strings, and Jaccard
+    over the hashed sets equals Jaccard over the words themselves
+    modulo md5-60-bit collisions (~n²/2^61 per document pair).  DuckDB
+    replays it via
+    ``list_distinct(list_transform(words, w -> phash(w)))``."""
+    return F.array_distinct(F.transform(words(col), lambda w: portable_hash64(w)))
+
+
 def ngrams_of_words(ws: Column, n: int) -> Column:
     """Sliding space-joined word-n-gram array over a word-array column,
     empty when the document has fewer than n words.  The single gram

@@ -5,7 +5,8 @@ Each a first-class DataFrame operator with a DuckDB oracle
 
 - exact:       md5-groupBy duplicate clusters
 - minhash:     k-permutation MinHash + banded LSH candidate join,
-               verified with exact word-set Jaccard
+               verified with exact Jaccard over HASHED word sets
+               (8-byte ints ride the candidate shuffle, not words)
 - simhash:     32-bit sign-of-weighted-sum fingerprint (single-pass
                vote aggregate) + pigeonhole block-permutation pair
                blocking (complete recall at the configured hamming)
@@ -30,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from webtext_extraction_spark.functions.text import (
+    hashed_word_set,
     ngrams_of_words,
     portable_hash64,
     word_set,
@@ -102,15 +104,40 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, then exact word-set Jaccard
-    verification.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    verification.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The verification sets are HASHED word sets (``hashed_word_set``):
+    the candidate join then shuffles arrays of 8-byte ints instead of
+    full word strings — for ~10³-distinct-word documents that is the
+    difference between a payload-scale shuffle and a hash-scale one at
+    100 TB.  Jaccard over hashed sets equals word Jaccard modulo md5
+    60-bit collisions, and the DuckDB oracle replays the same hashing
+    (same move boilerplate_ngrams documents and contamination makes).
+    The minhash signature is derived from the SAME hashed array —
+    ``(h % TOKEN_SPACE)·a + b`` ≡ with_minhash_signature's per-word
+    value, and array_min is duplicate-insensitive — so the text column
+    is tokenized exactly once."""
     rows_per_band = num_hashes // bands
-    # word sets computed ONCE per row, before the candidate join —
-    # recomputing them per pair multiplies the dominant cost by the
-    # collision fan-out
-    sigs = with_minhash_signature(df, text_col, num_hashes).select(
+
+    def perm(a: int, b: int):
+        # factory keeps the Spark lambda unary (default-arg lambdas
+        # read as 2/3-ary to the higher-order-function binder)
+        return lambda h: ((h % F.lit(TOKEN_SPACE)) * F.lit(a) + F.lit(b)) % F.lit(
+            MINHASH_PRIME
+        )
+
+    base = df.select(
         F.col(id_col).alias("_id"),
-        word_set(F.col(text_col)).alias("_ws"),
+        hashed_word_set(F.col(text_col)).alias("_ws"),
+    )
+    sigs = base.withColumn(
         "minhash",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_ws"), perm(a, b)))
+                for a, b in _perm_params(num_hashes)
+            ]
+        ),
     )
     # bucket key = the band slice itself, stringified: equality is then
     # portable (no engine-specific hash in the collision definition)
