@@ -797,6 +797,38 @@ def test_pack_sequences_nonunique_order_tiebreaks_by_id(spark):
     assert via_grp == via_id
 
 
+def test_pack_sequences_matches_sequential_reference_on_shuffled_input(spark):
+    # the range-partitioned formulation (per-partition running sums +
+    # driver offsets) must reproduce the sequential exclusive-cumsum
+    # rule exactly, regardless of input partitioning / row order
+    import random
+
+    rnd = random.Random(7)
+    docs = [(i, "w " * rnd.randint(1, 9)) for i in range(200)]
+    rnd.shuffle(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(7)
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.pack_sequences(
+            df, "doc_id", "text", budget=16, num_partitions=5
+        ).collect()
+    }
+    toks = {i: len(t.split()) for i, t in docs}
+    acc, expect_bin, bin_toks, bin_docs = 0, {}, {}, {}
+    for i in sorted(toks):
+        b = acc // 16
+        expect_bin[i] = b
+        bin_toks[b] = bin_toks.get(b, 0) + toks[i]
+        bin_docs[b] = bin_docs.get(b, 0) + 1
+        acc += toks[i]
+    assert len(rows) == 200
+    for i in sorted(toks):
+        assert rows[i]["tokens"] == toks[i]
+        assert rows[i]["bin_id"] == expect_bin[i], i
+        assert rows[i]["bin_tokens"] == bin_toks[expect_bin[i]]
+        assert rows[i]["bin_docs"] == bin_docs[expect_bin[i]]
+
+
 def test_new_operator_invariants_on_random_corpus(spark):
     """Property sweep over a seeded random corpus: metric bounds,
     packing completeness/contiguity, decontamination set sanity."""

@@ -306,3 +306,19 @@ def test_conversation_digest_shuffles_digests_not_payloads(spark, tmp_path):
 
     for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
         assert "text#" not in m.group(0)
+
+
+def test_pack_sequences_has_no_single_partition_exchange(spark):
+    """The 100 TB killer shape would be `Exchange SinglePartition` +
+    a global-sort Window; the range-partitioned formulation must show
+    neither — running sums run per range partition, and the only
+    exchanges are the pid/bin_id hash shuffles + the broadcast offset
+    map."""
+    from webtext_extraction_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(50)], ["doc_id", "text"]
+    )
+    plan = _plan(pack_sequences(df, "doc_id", "text", budget=10, num_partitions=4))
+    assert "SinglePartition" not in plan
+    assert _node_ids(plan, "Window") >= 1  # the per-partition running sum is real

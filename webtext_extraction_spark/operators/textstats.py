@@ -198,6 +198,7 @@ def pack_sequences(
     text_col: str,
     budget: int = 512,
     order_col: str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget
     training bins — the standard pre-training batching step (pack
@@ -209,14 +210,34 @@ def pack_sequences(
     EXCLUSIVE running token sum starts in [k*budget, (k+1)*budget).
     A document straddling a boundary stays in the bin it started in,
     so bins can exceed the budget by at most one document — the
-    documented trade for a single window pass (an exact
-    budget-resetting cumsum is non-associative and cannot be a
-    distributed scan).
+    documented trade for a distributed scan (an exact
+    budget-resetting cumsum is non-associative).
 
-    Shape: ONE shuffle (the global order window).  At 100 TB you'd
-    range-partition on the order key first so the running sum is
-    computed per range with per-partition offsets — same rule, same
-    output; this operator is the single-window formulation.
+    Shape (the 100 TB formulation): the running sum is computed PER
+    RANGE PARTITION with driver-added offsets, never through a single
+    global window task:
+
+    1. project (id, tokens, order) — the only text scan — then
+       ``repartitionByRange`` on the order keys and localCheckpoint.
+       The checkpoint pins one evaluation of the ranged projection so
+       the partition ids seen by step 2 and step 3 are THE SAME
+       assignment (range boundaries come from a sampling pass;
+       re-evaluating could legally re-draw them).  It materializes
+       only this narrow projection, not the text.
+    2. one tiny driver job collects per-partition token totals
+       (``num_partitions`` longs) and prefix-sums them into exclusive
+       partition offsets — the same driver-scalar move the skew probe
+       and k-means make.
+    3. per-partition window (partitionBy the physical partition id,
+       which is ordered by construction of range partitioning) + the
+       broadcast offset map gives every row its GLOBAL exclusive
+       running sum; bin_id = floor(sum / budget) as before.
+
+    Every task sorts only its own range — no single-task global sort,
+    no "No Partition Defined" window — and the bin rollup window
+    shuffles on bin_id (uniform by construction: bins are contiguous
+    token chunks).  Output is identical to the single-global-window
+    formulation (the DuckDB oracle replays that one exactly).
 
     Output: one row per doc (id, tokens, bin_id) plus per-bin rollups
     (bin_tokens, bin_docs) — callers group by bin_id to materialize.
@@ -228,15 +249,42 @@ def pack_sequences(
     # positions inside the ROWS frame partition-order-dependent and
     # break the operator's determinism contract
     order_keys = [order] if order == id_col else [order, id_col]
-    w = Window.orderBy(*order_keys).rowsBetween(Window.unboundedPreceding, -1)
     toks = F.size(words(F.col(text_col)))
     cols = [F.col(id_col), toks.alias("tokens")]
     if order != id_col:
         cols.append(F.col(order))
     base = df.select(*cols)
-    binned = base.withColumn(
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        base.repartitionByRange(num_partitions, *[F.col(k) for k in order_keys])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(F.sum("tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    if offsets:
+        off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
+        joined = ranged.join(F.broadcast(off_df), "_pid")
+    else:
+        joined = ranged.withColumn("_off", F.lit(0).cast("long"))
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = joined.withColumn(
         "bin_id",
-        F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / budget),
+        F.floor(
+            (F.col("_off") + F.coalesce(F.sum("tokens").over(w), F.lit(0))) / budget
+        ),
     )
     wb = Window.partitionBy("bin_id")
     return binned.select(
