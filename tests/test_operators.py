@@ -921,6 +921,53 @@ def test_remove_boilerplate_hand_computed(spark):
     assert rows[5]["n_removed_words"] == 0
 
 
+def test_remove_boilerplate_methods_and_supplied_grams_agree(spark):
+    """The driver-set apply path (default), the lazy join path, and a
+    supplied precomputed gram table must all produce identical rows —
+    including grams learned on a DIFFERENT corpus slice (the
+    per-snapshot-artifact reuse pattern)."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = ["w%d" % i for i in range(30)]
+    boiler_phrase = "follow us on social media now"
+    docs = []
+    for i in range(40):
+        body = " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 12)))
+        docs.append((i, body + (" " + boiler_phrase if i % 2 == 0 else "")))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    train = df.filter(F.col("doc_id") < 20)
+    target = df.filter(F.col("doc_id") >= 20)
+
+    def rows(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    inline_set = rows(dedup.remove_boilerplate(df, "doc_id", "text", n=3, min_docs=5))
+    inline_join = rows(
+        dedup.remove_boilerplate(df, "doc_id", "text", n=3, min_docs=5, method="join")
+    )
+    assert inline_set == inline_join
+
+    grams = dedup.boilerplate_ngrams(train, "doc_id", "text", n=3, min_docs=5)
+    sup_set = rows(
+        dedup.remove_boilerplate(target, "doc_id", "text", n=3, grams=grams)
+    )
+    sup_join = rows(
+        dedup.remove_boilerplate(
+            target, "doc_id", "text", n=3, grams=grams, method="join"
+        )
+    )
+    assert sup_set == sup_join
+    # the transferred grams actually strip something on the target side
+    assert any(r[3] > 0 for r in sup_set)
+    # empty gram table: everything survives untouched
+    empty = grams.filter(F.lit(False))
+    untouched = rows(dedup.remove_boilerplate(target, "doc_id", "text", n=3, grams=empty))
+    assert all(r[3] == 0 for r in untouched)
+    with pytest.raises(ValueError):
+        dedup.remove_boilerplate(df, "doc_id", "text", method="nope")
+
+
 def test_new_ops_null_text_behavior(spark):
     """NULL payloads pinned across the new operators (cross-engine
     parity class: Spark size(NULL)/DuckDB len(NULL) both propagate

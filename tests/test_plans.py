@@ -322,3 +322,24 @@ def test_pack_sequences_has_no_single_partition_exchange(spark):
     plan = _plan(pack_sequences(df, "doc_id", "text", budget=10, num_partitions=4))
     assert "SinglePartition" not in plan
     assert _node_ids(plan, "Window") >= 1  # the per-partition running sum is real
+
+
+def test_remove_boilerplate_apply_is_one_scan_no_shuffle(spark, tmp_path):
+    """The default (driver-set) apply path with a supplied gram table
+    must be ONE projection: a single parquet scan of the document
+    table, no Exchange, no join — the gram membership test is an
+    embedded InSet, not a join."""
+    from webtext_extraction_spark.operators.dedup import remove_boilerplate
+
+    p = str(tmp_path / "docs_rb")
+    spark.createDataFrame(
+        [(i, "follow us on line %d" % i) for i in range(12)], ["doc_id", "text"]
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    grams = spark.createDataFrame(
+        [("follow us on",), ("us on line",)], ["ngram"]
+    )
+    plan = _plan(remove_boilerplate(docs, "doc_id", "text", n=3, grams=grams))
+    assert _node_ids(plan, "Exchange") == 0
+    assert _node_ids(plan, "Join") == 0 and "Join" not in plan
+    assert _node_ids(plan, "Scan parquet") == 1

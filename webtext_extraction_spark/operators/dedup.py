@@ -351,12 +351,31 @@ def boilerplate_ngrams(
     )
 
 
+def _cleaned_select(marked: DataFrame, id_col: str, kept) -> DataFrame:
+    """Shared output projection of remove_boilerplate's two methods."""
+    return marked.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+        F.size("_ws").alias("n_words"),
+        (F.size("_ws") - F.size(kept)).alias("n_removed_words"),
+        F.round(
+            (F.size("_ws") - F.size(kept))
+            / F.greatest(F.size("_ws"), F.lit(1)).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("removed_frac"),
+    )
+
+
 def remove_boilerplate(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 5,
     min_docs: int = 3,
+    grams: DataFrame | None = None,
+    method: str = "set",
 ) -> DataFrame:
     """Strip cross-document boilerplate spans from each document — the
     removal action over :func:`boilerplate_ngrams`' detection: every
@@ -364,32 +383,71 @@ def remove_boilerplate(
     documents is dropped, the survivors are re-joined with single
     spaces.
 
-    Shape: the boilerplate gram set is small by construction (grows
-    only with *repeated* content) and is BROADCAST; the document side
-    is one gram explode -> broadcast semi-join -> covered-position
-    fan-out -> groupBy(doc) collect_set, then a filter HOF keeps
-    un-covered words (the two-arg (element, index) lambda form —
-    deliberately, unlike the tagging bug this codebase once hit).
-    Cost model, stated honestly: as written the text column is scanned
-    THREE times — once for the detection pass and once for each of the
-    two branches the tokenized base feeds (gram-marking and rebuild),
-    since Spark recomputes an uncached lineage per consumer.  In
-    production the gram set is a per-snapshot artifact like the rule
-    table (learn once, persist, reuse), and persisting the tokenized
-    base (or re-tokenizing in the rebuild projection) brings the apply
-    side to one scan; this operator keeps the dependency-free
-    formulation.  NULL text is treated as the empty document.
+    ``grams`` (a DataFrame with an ``ngram`` column) supplies a
+    PRECOMPUTED boilerplate gram table — the per-snapshot artifact a
+    production pipeline learns once and reuses, exactly like the rule
+    table; ``None`` learns it inline from ``df`` with
+    :func:`boilerplate_ngrams`.
+
+    Two apply methods; both produce identical output:
+
+    - ``"set"`` (default): collect the gram set to the driver (eager —
+      one small job at call time; the set is small by construction,
+      the same class of driver scalar as hot-key lists and k-means
+      centroids) and apply in ONE projection: per doc, mark each gram
+      against the set (Catalyst folds the literal IN-list to an InSet
+      hash lookup), then keep the words no covering gram marks via a
+      windowed ``exists`` over the flag array.  ONE text scan on the
+      apply side, ZERO shuffles/joins.
+    - ``"join"``: the lazy formulation for gram tables too large to
+      embed in a task binary (≈ >10⁶ grams): posexplode -> broadcast
+      semi-join -> covered-position fan-out -> groupBy(doc)
+      collect_set -> join back.  Text is scanned once per consumer of
+      the tokenized base (twice; three times with inline detection) —
+      the price of staying fully lazy.
+
+    NULL text is treated as the empty document.
 
     Output: one row per input doc — (id, cleaned_text, n_words,
     n_removed_words, removed_frac).
     """
-    boiler = boilerplate_ngrams(df, id_col, text_col, n=n, min_docs=min_docs).select(
-        "ngram"
-    )
+    if method not in ("set", "join"):
+        raise ValueError(f"method must be 'set' or 'join', got {method!r}")
+    if grams is None:
+        grams = boilerplate_ngrams(df, id_col, text_col, n=n, min_docs=min_docs)
+    boiler = grams.select("ngram")
     base = df.select(
         F.col(id_col).alias("_id"),
         words(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
     )
+
+    if method == "set":
+        gram_list = [r[0] for r in boiler.collect()]
+        mark = (
+            (lambda g: g.isin(gram_list)) if gram_list else (lambda g: F.lit(False))
+        )
+        marked = base.withColumn(
+            "_flags", F.transform(ngrams_of_words(F.col("_ws"), n), mark)
+        )
+        nflags = F.size("_flags")
+
+        def uncovered(w, i):
+            # word i is covered iff any flagged gram starts in
+            # [i-n+1, i] ∩ [0, n_grams-1]; that window is non-empty
+            # whenever n_grams >= 1 (lo <= n_grams-1 because
+            # i <= len(ws)-1 = n_grams+n-2)
+            lo = F.greatest(i - F.lit(n - 1), F.lit(0))
+            length = F.least(i, nflags - 1) - lo + 1
+            return ~F.exists(
+                F.slice(F.col("_flags"), lo + 1, length), lambda f: f
+            )
+
+        kept = F.when(nflags == 0, F.col("_ws")).otherwise(
+            F.filter(F.col("_ws"), uncovered)
+        )
+        return _cleaned_select(marked, id_col, kept)
+
+    # method == "join"
     # posexplode of the gram array: the emitted position IS the gram's
     # word offset, and the word array itself is not replicated per row
     pos = base.select(
@@ -408,19 +466,7 @@ def remove_boilerplate(
     kept = F.filter(
         F.col("_ws"), lambda w, i: ~F.array_contains(F.col("_covered"), i.cast("int"))
     )
-    return joined.select(
-        F.col("_id").alias(id_col),
-        F.concat_ws(" ", kept).alias("cleaned_text"),
-        F.size("_ws").alias("n_words"),
-        (F.size("_ws") - F.size(kept)).alias("n_removed_words"),
-        F.round(
-            (F.size("_ws") - F.size(kept))
-            / F.greatest(F.size("_ws"), F.lit(1)).cast("double"),
-            6,
-        )
-        .cast("double")
-        .alias("removed_frac"),
-    )
+    return _cleaned_select(joined, id_col, kept)
 
 
 def connected_components(
