@@ -343,3 +343,18 @@ def test_remove_boilerplate_apply_is_one_scan_no_shuffle(spark, tmp_path):
     assert _node_ids(plan, "Exchange") == 0
     assert _node_ids(plan, "Join") == 0 and "Join" not in plan
     assert _node_ids(plan, "Scan parquet") == 1
+
+
+def test_extract_turns_distinct_honors_num_partitions_single_exchange(spark):
+    """An explicit num_partitions on the distinct path sizes the digest
+    shuffle itself — the dedup aggregate's clustering requirement is
+    satisfied by the explicit repartition, so there is exactly ONE
+    digest exchange, at the requested width (ADVICE r03)."""
+    import re
+
+    from webtext_extraction_spark.operators.extraction import extract_turns_distinct
+    from webtext_extraction_spark.sources.transcripts import synth_transcripts
+
+    df = synth_transcripts(spark, num_conversations=10)
+    plan = _plan(extract_turns_distinct(df, num_partitions=7))
+    assert re.findall(r"hashpartitioning\(_ph#\d+, (\d+)\)", plan) == ["7"]

@@ -103,6 +103,28 @@ def test_render_excludes_failures_keeps_timeouts(extracted):
         assert "（テキスト抽出タイムアウト）" in text  # Q5: kept in body
 
 
+def test_render_limit_bounds_renderable_rows_not_prefilter(spark):
+    """ADVICE r03: ``limit`` counts RENDERABLE records — failure/error
+    rows are filtered Spark-side before the limit, so a failure-heavy
+    prefix can no longer starve the output (and failure rows are never
+    collected to the driver)."""
+    rows = [("c0", i, f"https://ex.com/f{i}", "fail", "failure_template") for i in range(3)]
+    rows += [("c1", i, f"https://ex.com/ok{i}", f"body {i}", "success") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, url string, extracted_text string, status string"
+    )
+    text = render_extracted(df, limit=5)
+    # all 5 renderable records survive even though 3 failure rows sort
+    # first (the old pre-filter limit would have rendered only 2)
+    assert [b.split("\n", 1)[0] for b in text.split("\n\n\n")] == [
+        f"https://ex.com/ok{i}" for i in range(5)
+    ]
+    # the Q8 header still subtracts failure urls it never collected as rows
+    with_hdr = render_extracted(df, limit=5, source_name="google")
+    head = with_hdr.partition("\n\n\n\n\n")[0]
+    assert "https://ex.com/f0" not in head and "https://ex.com/ok0" in head
+
+
 def test_render_q8_header_matches_golden(extracted):
     """Q8 (VERDICT r02 #6): source banner + filtered URL list + exactly
     five newlines before the first record, byte-equal to the committed

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from webtext_extraction_spark.operators.extraction import extract_turns
 from webtext_extraction_spark.sources.transcripts import synth_transcripts
 from webtext_extraction_spark.streaming.stream import (
+    read_stream_output,
     stream_conversation_state,
     stream_extract,
     stream_status_rollup,
@@ -117,7 +118,12 @@ def test_stateful_conversation_counters_accumulate(spark, tmp_path):
 
     q = stream_conversation_state(spark, inp, out, ckpt)
     q.awaitTermination(300)
-    updates = spark.read.parquet(out + "/*").collect()
+    # ADVICE r03: the sink root carries a visible _LAYOUT marker
+    # documenting the per-batch subdirectory layout
+    import pathlib
+
+    assert "batch_" in (pathlib.Path(out) / "_LAYOUT").read_text()
+    updates = read_stream_output(spark, out).collect()
     # state accumulated across micro-batches: final total = 2 + 3 turns
     finals = {}
     for r in updates:
@@ -130,7 +136,7 @@ def test_stateful_conversation_counters_accumulate(spark, tmp_path):
     q2 = stream_conversation_state(spark, inp, out, ckpt)
     q2.awaitTermination(300)
     finals2 = {}
-    for r in spark.read.parquet(out + "/*").collect():
+    for r in read_stream_output(spark, out).collect():
         finals2[r["conv_id"]] = max(finals2.get(r["conv_id"], 0), r["turns_seen"])
     assert finals2.get("a") == 9  # 5 carried in state + 4 new
     assert finals2.get("b") == 5  # untouched by the restart
@@ -157,7 +163,7 @@ def test_streaming_exact_dedup_keeps_first_across_batches_and_restarts(spark, tm
 
     q = stream_exact_dedup(spark, inp, out, ckpt)
     q.awaitTermination(300)
-    rows = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out + "/*").collect()}
+    rows = {(r["conv_id"], r["text"]) for r in read_stream_output(spark, out).collect()}
     texts = sorted(t for _, t in rows)
     assert texts == ["textA", "textB", "textC"]
     assert ("c2", "textB") not in rows  # cross-batch dup dropped, first kept
@@ -169,7 +175,7 @@ def test_streaming_exact_dedup_keeps_first_across_batches_and_restarts(spark, tm
     ).coalesce(1).write.mode("append").parquet(inp)
     q2 = stream_exact_dedup(spark, inp, out, ckpt)
     q2.awaitTermination(300)
-    rows2 = {(r["conv_id"], r["text"]) for r in spark.read.parquet(out + "/*").collect()}
+    rows2 = {(r["conv_id"], r["text"]) for r in read_stream_output(spark, out).collect()}
     assert sorted(t for _, t in rows2) == ["textA", "textB", "textC", "textD"]
     assert ("c3", "textB") not in rows2  # dup dropped even after restart
 
@@ -208,7 +214,7 @@ def test_streaming_training_pairs_match_batch_across_batches_and_restart(spark, 
 
     streamed = sorted(
         (r["conv_id"], int(r["turn_idx"]), r["prompt"], r["completion"], int(r["n_context"]))
-        for r in spark.read.parquet(out + "/*").collect()
+        for r in read_stream_output(spark, out).collect()
     )
     full = spark.createDataFrame(rows(range(0, 8)), schema)
     batch = sorted(
@@ -224,7 +230,7 @@ def test_streaming_training_pairs_match_batch_across_batches_and_restart(spark, 
     # restart on the same checkpoint: no new input, no new rows
     q2 = stream_training_pairs(spark, inp + "/*", out, ckpt, context_turns=3)
     q2.awaitTermination(300)
-    assert spark.read.parquet(out + "/*").count() == len(streamed)
+    assert read_stream_output(spark, out).count() == len(streamed)
 
 
 def test_streaming_pairs_chunked_groups_and_null_fields_match_batch(spark, tmp_path):
@@ -266,7 +272,7 @@ def test_streaming_pairs_chunked_groups_and_null_fields_match_batch(spark, tmp_p
 
     streamed = sorted(
         (r["conv_id"], r["turn_idx"], r["prompt"], r["completion"], int(r["n_context"]))
-        for r in spark.read.parquet(out + "/*").collect()
+        for r in read_stream_output(spark, out).collect()
     )
     batch = sorted(
         (r["conv_id"], r["turn_idx"], r["prompt"], r["completion"], int(r["n_context"]))

@@ -74,6 +74,18 @@ class TextNode:
 
 
 class Element:
+    """A DOM element.
+
+    STRUCTURAL MUTATION INVARIANT (ADVICE r03): the tree is
+    append-only at PARSE time and decompose-only AFTERWARDS.  There is
+    deliberately no insertion/reattachment API — ``_DomIndex`` is
+    built once per Document and only tracks liveness via
+    ``decompose_epoch``, so an element attached after ``ensure_index``
+    has run would be invisible to ``select``/``find_all`` with no
+    signal.  Any future attachment path MUST either invalidate
+    ``Document._dom_index`` (set it to None) or assert that
+    ``ensure_index`` has not yet run."""
+
     __slots__ = ("name", "attrs", "parent", "children", "decomposed", "_classes", "order")
 
     def __init__(self, name: str, attrs: dict, parent, order: int = 0):
@@ -299,7 +311,13 @@ def is_under(el, root) -> bool:
 
 
 class Document(Element):
-    """Root node; also exposes ``body`` and ``title`` (W:1341, W:1359)."""
+    """Root node; also exposes ``body`` and ``title`` (W:1341, W:1359).
+
+    Carries the lazily-built ``_DomIndex`` and the ``decompose_epoch``
+    that keeps it honest under decomposition — see the structural
+    mutation invariant on :class:`Element`: parse-time append-only,
+    decompose-only afterwards, no attachment without index
+    invalidation."""
 
     def __init__(self):
         super().__init__("[document]", {}, None)

@@ -289,7 +289,11 @@ def extract_turns(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
     return with_error_pattern_status(result)
 
 
-def extract_turns_distinct(df: DataFrame, site_rules: dict | None = None) -> DataFrame:
+def extract_turns_distinct(
+    df: DataFrame,
+    site_rules: dict | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Global dedup-before-extract: run the kernel once per DISTINCT
     (payload, tool) across the whole input, then join results back to
     every row.  Output rows/schema identical to ``extract_turns``.
@@ -310,13 +314,24 @@ def extract_turns_distinct(df: DataFrame, site_rules: dict | None = None) -> Dat
     md5(tool) — hashing the fields SEPARATELY keeps the pair encoding
     injective (a delimiter inside concat would collide on payloads
     containing the delimiter byte); collision odds ~1e-14 at 1e12 rows.
+
+    ``num_partitions`` sizes the digest shuffle (and therefore the
+    kernel-stage task granularity — the thing the knob exists for):
+    the explicit ``repartition(n, _ph)`` satisfies the dedup
+    aggregate's clustering requirement, so Catalyst inserts NO second
+    exchange (plan-audited) — honoring the caller's partition count
+    costs nothing over the default-partitioned dedup shuffle
+    (ADVICE r03).
     """
     hexpr = F.concat(
         F.md5(F.coalesce(F.col("text"), F.lit(""))),
         F.md5(F.coalesce(F.col("tool"), F.lit(""))),
     )
     tagged = df.withColumn("_ph", hexpr)
-    distinct = tagged.select("text", "tool", "_ph").dropDuplicates(["_ph"])
+    pre = tagged.select("text", "tool", "_ph")
+    if num_partitions is not None:
+        pre = pre.repartition(num_partitions, "_ph")
+    distinct = pre.dropDuplicates(["_ph"])
     results = extract_turns(distinct, site_rules).drop("tool")
     carried = [c for c in df.columns if c != "text"]
     return tagged.join(results, "_ph").select(

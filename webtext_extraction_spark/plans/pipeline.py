@@ -126,10 +126,12 @@ def extraction_pipeline(
     )
     if use_distinct:
         # the distinct step's shuffle already rebalances; skip the
-        # salt/granularity repartition of the full input
+        # salt/granularity repartition of the full input.  An explicit
+        # num_partitions still holds: it sizes the digest shuffle (=
+        # kernel task granularity) with no extra exchange (ADVICE r03)
         from webtext_extraction_spark.operators.extraction import extract_turns_distinct
 
-        return extract_turns_distinct(transcripts)
+        return extract_turns_distinct(transcripts, num_partitions=num_partitions)
     if hot or heavy_rows or salt_hot_keys is True:
         if num_partitions is None:
             # 3 tasks per core: fine-grained tasks smooth stragglers (hot
@@ -172,15 +174,21 @@ def render_extracted(
     record.  Here the "input URL list" is the batch's URLs in stable
     (conv_id, turn_idx) order; the exclusions are the
     failure_template/error_pattern rows the renderer drops.
+
+    ``limit`` bounds the RENDERABLE record count (ADVICE r03): the
+    failure/error rows are filtered Spark-side before the limit, so an
+    input with many failure rows still renders ``limit`` records, and
+    failure rows are never collected to the driver.  The Q8
+    excluded-url set rides its own bounded distinct query.
     """
-    all_rows = (
-        extracted.orderBy("conv_id", "turn_idx")
+    excluded_statuses = ("failure_template", "error_pattern")
+    rows = (
+        extracted.filter(~F.col("status").isin(*excluded_statuses))
+        .orderBy("conv_id", "turn_idx")
         .select("conv_id", "turn_idx", "url", "extracted_text", "status")
         .limit(limit)
         .collect()
     )
-    excluded_statuses = {"failure_template", "error_pattern"}
-    rows = [r for r in all_rows if r["status"] not in excluded_statuses]
 
     q8_header = ""
     if source_name is not None:
@@ -190,10 +198,16 @@ def render_extracted(
             )
         banner = source_name + "=" * (62 - len(source_name)) + "\n\n"
         excluded_urls = {
-            r["url"] for r in all_rows if r["status"] in excluded_statuses and r["url"]
+            r["url"]
+            for r in extracted.filter(F.col("status").isin(*excluded_statuses))
+            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+            .select("url")
+            .distinct()
+            .limit(limit)
+            .collect()
         }
         url_list = []
-        for r in all_rows:
+        for r in rows:
             if r["url"] and r["url"] not in excluded_urls and r["url"] not in url_list:
                 url_list.append(r["url"])
         # filtered list + exactly 5 newlines (W:1700)

@@ -220,6 +220,40 @@ def stream_exact_dedup(
     return _start_idempotent_append(deduped, output_dir, checkpoint_dir, available_now)
 
 
+_LAYOUT_NOTE = (
+    "Idempotent streaming sink layout (NOT a flat parquet directory):\n"
+    "each micro-batch lands in its own batch_<id>/ subdirectory so a\n"
+    "replayed batch overwrites its own previous output.  Read with\n"
+    "webtext_extraction_spark.streaming.read_stream_output(spark, dir)\n"
+    "or spark.read.parquet(dir + '/batch_*').\n"
+)
+
+
+def read_stream_output(spark, output_dir: str) -> DataFrame:
+    """Read an idempotent-append stream sink (ADVICE r03: the on-disk
+    layout is per-batch ``batch_<id>`` subdirectories, NOT a flat
+    parquet dir — ``spark.read.parquet(output_dir)`` without the glob
+    would fail on the ``_LAYOUT`` marker / nested dirs)."""
+    return spark.read.parquet(output_dir + "/batch_*")
+
+
+def _write_layout_marker(spark, output_dir: str) -> None:
+    """Drop a ``_LAYOUT`` README marker in the sink root so external
+    consumers of an existing flat-layout dir get a visible signal of
+    the per-batch layout (ADVICE r03).  Hadoop FS API: works on any
+    supported filesystem, not just local paths."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(output_dir + "/_LAYOUT"), True)
+    try:
+        out.write(bytearray(_LAYOUT_NOTE, "utf-8"))
+    finally:
+        out.close()
+
+
 def _start_idempotent_append(
     df: DataFrame,
     output_dir: str,
@@ -234,7 +268,10 @@ def _start_idempotent_append(
     output instead of appending duplicates (plain ``mode('append')``
     to one directory re-emits the batch on such a restart —
     foreachBatch bypasses the file sink's commit log).  Read the
-    output with ``spark.read.parquet(output_dir + "/*")``."""
+    output with :func:`read_stream_output` (or
+    ``spark.read.parquet(output_dir + "/batch_*")``); a ``_LAYOUT``
+    marker in the sink root documents the layout on disk."""
+    _write_layout_marker(df.sparkSession, output_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_{batch_id:08d}")
