@@ -1071,3 +1071,75 @@ def test_sample_mix_threshold_rounds_and_drops_null_ids(spark):
     # the NULL-id row's ticket is NULL -> dropped regardless of rate
     kept_all = textstats.sample_mix(df, "doc_id", "source", rates={}, default_rate=1.0).collect()
     assert [r["doc_id"] for r in kept_all] == [target]
+
+
+def test_scrub_pii_hand_computed(spark):
+    from webtext_extraction_spark.operators.privacy import scrub_pii
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+spam@sub.example.co.uk today"),
+            (1, "server 192.168.0.1 and 10.0.255.17 up"),
+            (2, "call +81 3-1234-5678 or (555) 010-4477"),
+            (3, "clean text with digits 42 and word2vec"),
+            (4, None),
+            # the email's digit run must NOT be re-counted as a phone
+            (5, "reach 555accounts777@example.org now"),
+        ],
+        schema,
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert rows[0]["scrubbed_text"] == "mail me at <EMAIL> today"
+    assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 0
+    assert rows[1]["scrubbed_text"] == "server <IP> and <IP> up"
+    assert rows[1]["n_ipv4"] == 2
+    assert rows[2]["n_phone"] == 2
+    assert "<PHONE>" in rows[2]["scrubbed_text"]
+    assert "5678" not in rows[2]["scrubbed_text"]
+    assert rows[3] ["scrubbed_text"] == "clean text with digits 42 and word2vec"
+    assert rows[3]["n_email"] == rows[3]["n_ipv4"] == rows[3]["n_phone"] == 0
+    assert rows[4]["scrubbed_text"] == ""  # NULL -> empty document
+    assert rows[5]["scrubbed_text"] == "reach <EMAIL> now"
+    assert rows[5]["n_email"] == 1 and rows[5]["n_phone"] == 0
+
+
+def test_unigram_logprob_hand_computed_and_artifact_parity(spark):
+    import math as _math
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    # corpus: 'a' x4, 'b' x2, 'c' x1, 'd' x1 -> total 8
+    df = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a a b d"), (2, "")], schema
+    )
+    out = {r["doc_id"]: r for r in textstats.unigram_logprob(df, "doc_id", "text").collect()}
+    assert set(out) == {0, 1}  # zero-token doc drops (documented)
+    lp = {w: round(_math.log(c / 8), 6) for w, c in {"a": 4, "b": 2, "c": 1, "d": 1}.items()}
+    exp0 = round((2 * lp["a"] + lp["b"] + lp["c"]) / 4, 6)
+    assert out[0]["n_tokens"] == 4
+    assert abs(out[0]["logprob_mean"] - exp0) < 1e-9
+    # docs 0 and 1 swap only equal-frequency tokens (c vs d): equal scores
+    assert out[0]["logprob_mean"] == out[1]["logprob_mean"]
+    # supplied-artifact path == inline path when freqs learned on df
+    freqs = textstats.unigram_frequencies(df, "text")
+    via_art = {
+        r["doc_id"]: r
+        for r in textstats.unigram_logprob(df, "doc_id", "text", freqs=freqs).collect()
+    }
+    assert {k: (v["n_tokens"], v["logprob_mean"]) for k, v in out.items()} == {
+        k: (v["n_tokens"], v["logprob_mean"]) for k, v in via_art.items()
+    }
+    # OOV backoff: score a doc with a token the freq table never saw
+    unseen = spark.createDataFrame([(9, "zzz a")], schema)
+    r9 = textstats.unigram_logprob(unseen, "doc_id", "text", freqs=freqs).collect()[0]
+    exp9 = round((round(_math.log(0.5 / 8), 6) + lp["a"]) / 2, 6)
+    assert abs(r9["logprob_mean"] - exp9) < 1e-9
+    # common-word docs outscore rare-token docs (the filter property)
+    assert out[0]["logprob_mean"] > round((lp["c"] + lp["d"]) / 2, 6)

@@ -358,3 +358,37 @@ def test_extract_turns_distinct_honors_num_partitions_single_exchange(spark):
     df = synth_transcripts(spark, num_conversations=10)
     plan = _plan(extract_turns_distinct(df, num_partitions=7))
     assert re.findall(r"hashpartitioning\(_ph#\d+, (\d+)\)", plan) == ["7"]
+
+
+def test_scrub_pii_is_shuffle_free_pure_expressions(spark, tmp_path):
+    from webtext_extraction_spark.operators.privacy import scrub_pii
+
+    p = str(tmp_path / "docs_pii")
+    spark.createDataFrame(
+        [(i, "text %d u@x.com" % i) for i in range(8)], ["doc_id", "text"]
+    ).write.parquet(p)
+    plan = _plan(scrub_pii(spark.read.parquet(p), "doc_id", "text"))
+    assert _node_ids(plan, "Exchange") == 0
+    assert _node_ids(plan, "ArrowEvalPython") == 0  # JVM regexes, no Python
+
+
+def test_unigram_logprob_shuffles_hashes_not_text(spark, tmp_path):
+    """The LM-score shuffles carry (hash, count/logprob) — the text
+    column itself stays out of every Exchange."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.textstats import (
+        unigram_frequencies,
+        unigram_logprob,
+    )
+
+    p = str(tmp_path / "docs_lm")
+    spark.createDataFrame(
+        [(i, "w%d common words here" % (i % 3)) for i in range(9)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    out = unigram_logprob(docs, "doc_id", "text", freqs=unigram_frequencies(docs, "text"))
+    plan = _plan(out)
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)

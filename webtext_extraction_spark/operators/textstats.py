@@ -339,6 +339,94 @@ def sample_mix(
     return df.filter(ticket < threshold)
 
 
+def unigram_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus unigram counts keyed by HASHED token (portable_hash64 —
+    8-byte keys ride the shuffle, the same width-bounding move the
+    dedup/contamination operators make): (th: bigint, cnt: bigint).
+    One explode + one groupBy shuffle.  This is the per-snapshot
+    artifact :func:`unigram_logprob` reuses — learn once on the
+    corpus, persist, score any table against it."""
+    return (
+        df.select(
+            F.explode(F.transform(words(F.col(text_col)), portable_hash64)).alias("th")
+        )
+        .groupBy("th")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    freqs: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per document,
+    the mean log-probability of its tokens under the corpus unigram
+    distribution (Wenzek et al. 2020 use a 5-gram KenLM; the unigram
+    variant is the same filter family with an exactly-replayable
+    model).  Common fluent text scores high; rare-token soup, OOV
+    noise and boilerplate codes score low — threshold to filter.
+
+    ``freqs``: optional precomputed :func:`unigram_frequencies` table
+    (the per-snapshot artifact, like remove_boilerplate's gram table);
+    ``None`` learns it inline from ``df`` (second text scan,
+    documented — supply the artifact for the one-scan path).
+
+    Cross-engine exactness (the part that makes this oracle-able):
+    per-token logprobs are rounded to 6 dp FIRST, then summed with
+    ``F.aggregate`` over a (token-hash)-sorted array — both engines
+    add the same doubles in the same order, so the sum is
+    bit-identical despite float addition being non-associative (a
+    plain groupBy avg would sum in partition order and flap at the
+    rounding boundary).  Equal sort keys carry equal values, so ties
+    commute.  OOV tokens (possible only with a supplied ``freqs``)
+    back off to ln(0.5/total).
+
+    Shape: explode → [inline learn: groupBy th] → join on th (8-byte
+    hashed keys, uniform) → groupBy doc.  Shuffles carry hashes and
+    counts, never text.  Zero-token docs drop (callers keep them with
+    a left join, same contract as repetition_profile).
+
+    Output: (id, n_tokens, logprob_mean).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(words(F.col(text_col)), portable_hash64)).alias("th"),
+    )
+    if freqs is None:
+        freqs = unigram_frequencies(df, text_col)
+    total = freqs.agg(F.sum("cnt")).collect()[0][0] or 0
+    if total == 0:
+        # empty corpus: nothing can score (no tokens exist)
+        return toks.select(
+            F.col("_id").alias(id_col),
+            F.lit(0).cast("int").alias("n_tokens"),
+            F.lit(0.0).alias("logprob_mean"),
+        ).limit(0)
+    oov_lp = F.round(F.log(F.lit(0.5) / F.lit(float(total))), 6)
+    scored = toks.join(freqs, "th", "left").select(
+        "_id",
+        "th",
+        F.coalesce(
+            F.round(F.log(F.col("cnt").cast("double") / F.lit(float(total))), 6),
+            oov_lp,
+        ).alias("lp"),
+    )
+    agg = scored.groupBy("_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("th", "lp"))).alias("_tl"),
+    )
+    sum_lp = F.aggregate(
+        F.col("_tl"), F.lit(0.0), lambda acc, s: acc + s["lp"]
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(sum_lp / F.col("n_tokens"), 6).cast("double").alias("logprob_mean"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
     out = token_counts(df, text_col)
