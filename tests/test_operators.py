@@ -1143,3 +1143,43 @@ def test_unigram_logprob_hand_computed_and_artifact_parity(spark):
     assert abs(r9["logprob_mean"] - exp9) < 1e-9
     # common-word docs outscore rare-token docs (the filter property)
     assert out[0]["logprob_mean"] > round((lp["c"] + lp["d"]) / 2, 6)
+
+
+def test_sessionize_hand_computed_microsecond_gaps(spark):
+    """Session splits at gap > threshold, sub-second precision (a
+    seconds-cast would merge the 1.5 s gap at gap_seconds=1), equal-ts
+    rows ordered by the tiebreak."""
+    import datetime
+
+    from webtext_extraction_spark.operators.relational import (
+        session_rollup,
+        sessionize,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    us = lambda n: t0 + datetime.timedelta(microseconds=n)
+    rows = [
+        # user 1: gaps 0.4 s, 1.5 s, 0.9 s -> sessions [0,0,1,1]
+        (1, 0, us(0)),
+        (1, 1, us(400_000)),
+        (1, 2, us(1_900_000)),
+        (1, 3, us(2_800_000)),
+        # user 2: equal timestamps -> tiebreak order, single session
+        (2, 10, us(0)),
+        (2, 11, us(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, "user_id", "ts", 1, "event_id").collect()
+    }
+    assert got == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1, (2, 10): 0, (2, 11): 0}
+    roll = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_rollup(df, "user_id", "ts", 1, "event_id").collect()
+    }
+    assert roll[(1, 0)]["n_events"] == 2 and roll[(1, 0)]["duration_us"] == 400_000
+    assert roll[(1, 1)]["min_id"] == 2 and roll[(1, 1)]["max_id"] == 3
+    assert roll[(2, 0)]["duration_us"] == 0
+    with pytest.raises(ValueError):
+        sessionize(df, "user_id", "ts", -1, "event_id")

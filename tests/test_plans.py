@@ -392,3 +392,22 @@ def test_unigram_logprob_shuffles_hashes_not_text(spark, tmp_path):
     plan = _plan(out)
     for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
         assert "text#" not in m.group(0)
+
+
+def test_sessionize_single_exchange_shared_sort(spark, tmp_path):
+    """The lag window and the running-sum window share partitioning and
+    order — the plan must have exactly ONE Exchange (the key hash) and
+    ONE Sort, not one per window."""
+    from webtext_extraction_spark.operators.relational import sessionize
+
+    p = str(tmp_path / "evts")
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i % 3, i, t0 + datetime.timedelta(seconds=i)) for i in range(30)],
+        "user_id long, event_id long, ts timestamp_ntz",
+    ).write.parquet(p)
+    plan = _plan(sessionize(spark.read.parquet(p), "user_id", "ts", 5, "event_id"))
+    assert _node_ids(plan, "Exchange") == 1
+    assert _node_ids(plan, "Sort") == 1

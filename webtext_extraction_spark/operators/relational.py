@@ -69,6 +69,78 @@ def union_sources(a: DataFrame, b: DataFrame, a_name: str, b_name: str) -> DataF
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Session segmentation over an event/transcript stream: within
+    each ``key_col`` partition, a new session starts whenever the gap
+    to the previous event exceeds ``gap_seconds`` — the standard
+    activity-sessionization window (and the conversation-segmentation
+    step of an agent-transcript pipeline: one conv_id, sessions split
+    on idle gaps).
+
+    Shape: ONE shuffle (hash on the key), two stacked windows over the
+    SAME partitioning (lag + running sum share one sort — Catalyst
+    plans a single Exchange + Sort, plan-audited).  Gap arithmetic is
+    integer MICROSECONDS (``unix_micros`` / DuckDB ``epoch_us``) so
+    the session boundaries replay bit-exactly cross-engine — a
+    seconds-cast would truncate sub-second gaps.
+
+    Output: input columns + ``session_idx`` (0-based per key, in
+    (ts, tiebreak) order).  ``tiebreak`` is REQUIRED: equal timestamps
+    would otherwise make lag order — and therefore session ids —
+    partition-order-dependent.
+    """
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+    # cast handles TIMESTAMP_NTZ inputs: the session timezone is pinned
+    # to UTC (session.py), so NTZ wall time -> epoch micros matches
+    # DuckDB epoch_us exactly; for TIMESTAMP inputs the cast is a no-op
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_session = (
+        F.when(us - F.lag(us).over(w) > gap_seconds * 1_000_000, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    run = Window.partitionBy(key_col).orderBy(ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_idx", F.sum(new_session).over(run))
+
+
+def session_rollup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: (key, session_idx,
+    n_events, min/max tiebreak id, duration_us).  Duration stays in
+    integer microseconds (exact cross-engine; callers divide for
+    seconds).  Adds one groupBy shuffle on (key, session_idx) — keys
+    at least as uniform as the input keys."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak)
+    # cast handles TIMESTAMP_NTZ inputs: the session timezone is pinned
+    # to UTC (session.py), so NTZ wall time -> epoch micros matches
+    # DuckDB epoch_us exactly; for TIMESTAMP inputs the cast is a no-op
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        s.groupBy(key_col, "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(tiebreak).alias("min_id"),
+            F.max(tiebreak).alias("max_id"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+    )
+
+
 def nav_char_ratio(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
     """A5 — sum of matched phrase lengths / total length, pure SQL."""
     phrase_arr = F.array(*[F.lit(p) for p in phrases])
