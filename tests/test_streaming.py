@@ -282,3 +282,78 @@ def test_streaming_pairs_chunked_groups_and_null_fields_match_batch(spark, tmp_p
     # the NULL-role turn appears in some prompt as a bare-text line
     assert any("\ntext 2\n" in p or p.startswith("text 2\n") or "\ntext 2" in p
                for _, _, p, _, _ in streamed)
+
+
+def test_stream_session_rollup_matches_batch_sessionize(spark, tmp_path):
+    """The native session_window streaming aggregate must reproduce the
+    batch sessionize/session_rollup segmentation (gaps chosen off the
+    merge-boundary grid — the documented strict-< vs <= difference).
+    Sessions close only when the watermark passes, so a far-future
+    sentinel event flushes the real ones."""
+    import datetime
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from webtext_extraction_spark.operators.relational import session_rollup, sessionize
+    from webtext_extraction_spark.streaming.stream import stream_session_rollup
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            # event-time watermarks require TIMESTAMP (not NTZ); the
+            # UTC-pinned session makes naive datetimes == UTC wall time
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    sec = lambda s: t0 + datetime.timedelta(seconds=s)
+    # user 1: sessions {0,1} (gap 10 s), {2,3} after a 100-s gap;
+    # user 2: one 3-event session.  gap threshold 30 s, no gap == 30.
+    rows = [
+        (1, 0, sec(0)),
+        (1, 1, sec(10)),
+        (1, 2, sec(110)),
+        (1, 3, sec(125)),
+        (2, 10, sec(5)),
+        (2, 11, sec(15)),
+        (2, 12, sec(25)),
+    ]
+    inp = str(tmp_path / "sess_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    # one file per micro-batch (coalesce): multi-part writes would
+    # scatter events across triggers in mtime order and the watermark
+    # would drop the stragglers as late
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+    # sentinel far past everything + watermark: flushes all real sessions
+    spark.createDataFrame([(99, 999, sec(10_000))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = stream_session_rollup(
+        spark, inp, out, ckpt, schema=schema, gap="30 seconds", watermark="10 seconds"
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 99
+    }
+    # batch truth: session_start = min ts per (key, session_idx)
+    batch = spark.createDataFrame(rows, schema)
+    sess = sessionize(batch, "user_id", "ts", 30, "event_id")
+    expected = {
+        (r["user_id"], r["start"]): r["n"]
+        for r in sess.groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 3
+    # rollup counts agree too
+    roll = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in session_rollup(batch, "user_id", "ts", 30, "event_id").collect()
+    }
+    assert sorted(roll.values()) == sorted(got.values())

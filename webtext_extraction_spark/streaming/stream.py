@@ -18,7 +18,11 @@ a Kafka transcript feed would take).  Three tiers:
   ``operators.conversations.conversation_pairs`` — per-conversation
   rolling context (last k role-tagged turns, JSON in the state store)
   emits a pair the moment an assistant turn arrives, across
-  micro-batch boundaries and restarts.
+  micro-batch boundaries and restarts;
+- ``stream_session_rollup`` — Spark's NATIVE ``session_window``
+  aggregate: idle-gap sessions over an unbounded stream, state-store
+  window merging, watermark-closed exactly-once emission — the
+  streaming twin of ``operators.relational.session_rollup``.
 
 Exactly-once: the stateless/windowed queries use the parquet file
 sink's commit log directly; the foreachBatch stateful queries write
@@ -218,6 +222,73 @@ def stream_exact_dedup(
     )
 
     return _start_idempotent_append(deduped, output_dir, checkpoint_dir, available_now)
+
+
+def stream_session_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``relational.session_rollup``: per-key
+    idle-gap sessions over an unbounded event stream, built on Spark's
+    NATIVE ``session_window`` aggregate — the state store merges
+    windows as events arrive, the watermark closes a session once no
+    event can extend it, and append mode emits each closed session
+    exactly once (parquet sink commit log).
+
+    Boundary semantics, pinned: ``session_window`` MERGES two events
+    when their gap is strictly < the gap duration, while the batch
+    operator merges at gap <= gap_seconds — the two differ only when a
+    gap equals the threshold exactly (document/choose thresholds off
+    the grid; the equivalence test uses non-boundary gaps).
+
+    A session older than the watermark may never emit until a later
+    event advances event time past ``session_end + watermark`` — the
+    standard flush contract (tests append a far-future sentinel).
+    Event-time watermarks require a TIMESTAMP column (Spark rejects
+    TIMESTAMP_NTZ here); NTZ sources cast first — lossless under the
+    UTC-pinned session (session.py).
+
+    Output: (key, session_start, session_end, n_events) — session_end
+    is the last event's ts + gap (Spark's window-close time), not the
+    last event itself; duration consumers subtract the gap.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 _LAYOUT_NOTE = (
