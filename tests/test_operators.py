@@ -1183,3 +1183,95 @@ def test_sessionize_hand_computed_microsecond_gaps(spark):
     assert roll[(2, 0)]["duration_us"] == 0
     with pytest.raises(ValueError):
         sessionize(df, "user_id", "ts", -1, "event_id")
+
+
+def test_scrub_pii_matches_python_re_and_is_idempotent(spark):
+    """Independent python-re oracle over randomized pii-ish rows, plus
+    idempotency (the replacement tokens match no pattern, so scrubbing
+    a scrubbed corpus is the identity)."""
+    import random
+    import re
+
+    from webtext_extraction_spark.operators.privacy import PII_RULES, scrub_pii
+
+    rnd = random.Random(23)
+    frags = [
+        "plain words here",
+        "x@y.io",
+        "bob.smith+tag@corp.example.com",
+        "1.2.3.4",
+        "255.255.255.255",
+        "+44 20 7946 0958",
+        "(03) 9999 123",
+        "no-at-sign.example.com",
+        "1.2.3",  # not an ip
+        "42",     # too short for phone
+        "日本語テキスト",
+    ]
+    rows = [
+        (i, " ".join(rnd.choice(frags) for _ in range(rnd.randint(1, 6))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(df, "doc_id", "text").collect()}
+
+    def py_scrub(t):
+        counts = {}
+        for name, pat, repl in PII_RULES:
+            counts[name] = len(re.findall(pat, t))
+            t = re.sub(pat, repl, t)
+        return t, counts
+
+    for i, t in rows:
+        exp_t, exp_c = py_scrub(t)
+        assert got[i]["scrubbed_text"] == exp_t, (i, t)
+        for name in exp_c:
+            assert got[i][f"n_{name}"] == exp_c[name], (i, name, t)
+    # idempotency: scrub(scrub(x)) == scrub(x), with zero new matches
+    scrubbed = spark.createDataFrame(
+        [(i, got[i]["scrubbed_text"]) for i, _ in rows], ["doc_id", "text"]
+    )
+    twice = {r["doc_id"]: r for r in scrub_pii(scrubbed, "doc_id", "text").collect()}
+    for i, _ in rows:
+        assert twice[i]["scrubbed_text"] == got[i]["scrubbed_text"]
+        assert twice[i]["n_email"] == twice[i]["n_ipv4"] == twice[i]["n_phone"] == 0
+
+
+def test_sessionize_matches_python_reference_randomized(spark):
+    import datetime
+    import random
+
+    from webtext_extraction_spark.operators.relational import sessionize
+
+    rnd = random.Random(31)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = rnd.randint(0, 10**6)
+        for _ in range(rnd.randint(1, 40)):
+            rows.append((user, eid, t0 + datetime.timedelta(microseconds=t)))
+            eid += 1
+            t += rnd.randint(0, 3_000_000)  # gaps 0-3 s incl. exact 0
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz"
+    ).repartition(5)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, "user_id", "ts", 1, "event_id").collect()
+    }
+    # python reference: sort by (user, ts, id), split at gap > 1 s
+    expect = {}
+    by_user = {}
+    for u, e, ts in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    for u, evs in by_user.items():
+        evs.sort()
+        sidx, prev = 0, None
+        for ts, e in evs:
+            if prev is not None and (ts - prev).total_seconds() > 1.0:
+                sidx += 1
+            expect[(u, e)] = sidx
+            prev = ts
+    assert got == expect
