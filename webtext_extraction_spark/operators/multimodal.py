@@ -3,11 +3,16 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct
 (modality, width/height or sample_rate, codec).  The Spark-side
 plumbing — schema, Arrow batching via mapInPandas, partition-friendly
-batch shapes — is real and tested; the actual media decode is STUBBED
-(this container has no image/audio libraries): ``decode_stub=True``
-produces deterministic fake features (seeded by content hash), and
-``decode_stub=False`` raises NotImplementedError where a real decoder
-(PIL/torchaudio/ffmpeg) would plug in.
+batch shapes — is real and tested.  Decode resolution:
+``decode_stub=True`` produces deterministic fake features (seeded by
+content hash — the SQL-replayable oracle path); a ``decoder``/
+``resizer`` callable runs REAL decode through the seam — and for
+uncompressed formats (binary PPM/PGM, 24-bit BMP) a real
+dependency-free codec ships in ``operators/codecs.py``
+(``image_feature`` / ``image_resizer``, numpy-only, no PIL/ffmpeg
+needed); ``decode_stub=False`` with no callable raises
+NotImplementedError (compressed formats genuinely need PIL/ffmpeg,
+absent in this container).
 
 At 100 TB this is the standard shape: binary stays columnar
 end-to-end (parquet → Arrow → pandas bytes) with no base64 detours,
@@ -105,9 +110,11 @@ def extract_media_features(
     batch — constant memory per task regardless of partition size."""
     if decoder is None and not decode_stub:
         raise NotImplementedError(
-            "real media decode requires a decoder callable (PIL/ffmpeg "
-            "are not available in this environment); pass decoder=... "
-            "or run with decode_stub=True"
+            "real media decode requires a decoder callable — pass "
+            "decoder=operators.codecs.image_feature for PPM/PGM/BMP "
+            "payloads (dependency-free), a PIL/ffmpeg-backed callable "
+            "for compressed formats (not available in this "
+            "environment), or run with decode_stub=True"
         )
 
     def run(batches):
@@ -164,9 +171,11 @@ def resize_media(
     through untouched (resize is an image/video-frame operation)."""
     if resizer is None and not decode_stub:
         raise NotImplementedError(
-            "real media resize requires a resizer callable (PIL/ffmpeg "
-            "are not available in this environment); pass resizer=... "
-            "or run with decode_stub=True"
+            "real media resize requires a resizer callable — pass "
+            "resizer=operators.codecs.image_resizer for PPM/PGM/BMP "
+            "payloads (dependency-free), a PIL/ffmpeg-backed callable "
+            "for compressed formats (not available in this "
+            "environment), or run with decode_stub=True"
         )
 
     def _stub_resize(payload: bytes, tw: int, th: int) -> bytes:
