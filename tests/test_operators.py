@@ -1275,3 +1275,25 @@ def test_sessionize_matches_python_reference_randomized(spark):
             expect[(u, e)] = sidx
             prev = ts
     assert got == expect
+
+
+def test_topk_recall_hand_computed_including_silent_miss(spark):
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2), (2, 30, 1)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    approx = spark.createDataFrame(
+        # q0: 2/3 hit; q1: rank-4 row must be ignored at k=3; q2 absent
+        [(0, 10, 1), (0, 99, 2), (0, 12, 3), (1, 20, 1), (1, 21, 4)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    got = {
+        r["query_id"]: r
+        for r in similarity.topk_recall(exact, approx, 3).collect()
+    }
+    assert got[0]["n_exact"] == 3 and got[0]["n_hit"] == 2
+    assert got[0]["recall"] == round(2 / 3, 6)
+    assert got[1]["n_hit"] == 1  # the rank-4 approx row does not count
+    assert got[2]["n_hit"] == 0 and got[2]["recall"] == 0.0  # silent miss surfaces
+    with pytest.raises(ValueError):
+        similarity.topk_recall(exact, approx, 0)

@@ -414,3 +414,40 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """ANN quality harness: recall@k of an approximate top-k result
+    against the exact one — the measure-don't-guess check every ANN
+    deployment needs before trusting a bucketed index at scale (run it
+    on a sampled query set; recall drops are the signal to raise
+    n_probe / num_planes).
+
+    Both inputs are (query_id, neighbor_id, rank, ...) frames as
+    produced by cosine_topk / lsh_ann_topk / ivf_ann_topk /
+    cosine_topk_int8; rows beyond rank k are ignored so differently-
+    parameterized results compare at a common depth.  Per query:
+    n_exact, n_hit (= |approx ∩ exact|), recall = n_hit / n_exact.
+    Queries the approximate side missed entirely still appear (n_hit
+    0, recall 0) — a silent-miss would be the worst failure mode of a
+    recall metric.  Shape: two tiny groupBys + one equi-join on
+    (query_id, neighbor_id); both sides are already k·|queries| rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = e.groupBy("query_id").agg(F.count("*").cast("int").alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6)
+        .cast("double")
+        .alias("recall"),
+    )
