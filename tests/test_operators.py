@@ -1297,3 +1297,71 @@ def test_topk_recall_hand_computed_including_silent_miss(spark):
     assert got[2]["n_hit"] == 0 and got[2]["recall"] == 0.0  # silent miss surfaces
     with pytest.raises(ValueError):
         similarity.topk_recall(exact, approx, 0)
+
+
+def test_chunk_documents_reconstruction_and_edges(spark):
+    """Chunks reconstruct the word sequence (first `step` words of each
+    chunk + the last chunk whole), the final window is never a
+    fully-covered tail, and short/NULL docs behave."""
+    import random
+
+    rnd = random.Random(5)
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(rnd.randint(1, 50)))) for i in range(30)]
+    docs.append((98, None))
+    docs.append((99, "a b"))  # shorter than chunk
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = textstats.chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=3)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, ci, txt, n in rows:
+        assert n == len(txt.split())
+        by_doc.setdefault(d, []).append((ci, txt.split()))
+    assert 98 not in by_doc  # NULL -> zero words -> drops
+    assert by_doc[99] == [(0, ["a", "b"])]
+    step = 8 - 3
+    for d, chunks in by_doc.items():
+        words = docs[d][1].split() if d < 30 else ["a", "b"]
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        rebuilt = []
+        for ci, ws in chunks[:-1]:
+            assert len(ws) == 8  # only the last chunk may be short
+            rebuilt.extend(ws[:step])
+        rebuilt.extend(chunks[-1][1])
+        assert rebuilt == words, d
+        # no fully-covered tail: the last chunk starts before n-overlap
+        assert len(chunks) == 1 or (len(chunks) - 1) * step < len(words) - 3
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+
+
+def test_canonical_url_cases_and_idempotency(spark):
+    from webtext_extraction_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/Path?b=2&utm_source=x&a=1#f", "https://www.ex.com/Path?a=1&b=2"),
+        ("http://a.jp/p?gclid=1", "http://a.jp/p"),
+        ("http://a.jp/p", "http://a.jp/p"),
+        ("https://x.org/p?z=1&z=0&ref=tw", "https://x.org/p?z=0&z=1"),
+        ("https://h.com/?utm_campaign=1&fbclid=2", "https://h.com/"),
+        ("https://h.com/CaseSensitive/Path", "https://h.com/CaseSensitive/Path"),
+        ("https://h.com/p?refresh=1", "https://h.com/p?refresh=1"),  # prefix != exact
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, expect) in enumerate(cases):
+        assert got[i] == expect, (i, got[i])
+    # idempotency: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame([(i, c) for i, c in got.items()], ["i", "url"])
+    got2 = {
+        r["i"]: r["c"]
+        for r in df2.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got2 == got

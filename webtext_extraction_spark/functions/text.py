@@ -90,6 +90,48 @@ def domain_of(url_col) -> Column:
     return F.regexp_extract(url_col, r"https?://(?:www\.)?([^/]+)", 1)
 
 
+TRACKING_PARAM_EXACT = ["gclid", "fbclid", "ref", "igshid", "mc_cid", "mc_eid"]
+
+
+def canonical_url(url_col) -> Column:
+    """URL canonicalization for URL-level dedup / exclusion matching —
+    the normalizer crawl pipelines run before grouping by URL:
+
+    1. lowercase the scheme://host prefix (path/query case preserved —
+       paths are case-sensitive, hosts are not);
+    2. strip the fragment (``#…`` never reaches the server);
+    3. drop tracking params (``utm_*`` prefix + the exact-name list in
+       ``TRACKING_PARAM_EXACT``) and SORT the survivors, so
+       ``?b=2&a=1&utm_source=x`` ≡ ``?a=1&b=2``.
+
+    Pure regexp/array expressions (no parse_url — DuckDB lacks it, and
+    the oracle must replay byte-for-byte): split at the first ``?``,
+    operate on the param array, rejoin.  Binary string sort on both
+    engines.  Semantics note: duplicate surviving params are kept
+    (order-normalized), and an all-tracking query collapses to no
+    ``?`` at all."""
+    no_frag = F.regexp_replace(url_col, r"#.*$", "")
+    prefix = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    lowered = F.concat(
+        F.lower(prefix),
+        F.substring(no_frag, F.length(prefix) + 1, F.lit(2147483647)),
+    )
+    path_part = F.regexp_replace(lowered, r"\?.*$", "")
+    query = F.when(
+        lowered.contains("?"), F.regexp_replace(lowered, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(TRACKING_PARAM_EXACT),
+    )
+    sorted_q = F.concat_ws("&", F.array_sort(params))
+    return F.when(sorted_q != "", F.concat(path_part, F.lit("?"), sorted_q)).otherwise(
+        path_part
+    )
+
+
 def ping_decode(url_col) -> Column:
     """D13 — Yahoo SERP ping-wrapped URL decode
     (yahoo_url_search.py:166-209): extract the ``/*-…`` tail and

@@ -427,6 +427,62 @@ def unigram_logprob(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    pre-embedding chunking step of a retrieval/training pipeline
+    (chunk k starts at word k·(chunk_tokens − overlap); the final
+    chunk may be short).  Pure expressions: tokenize once, generate
+    the start grid with ``sequence``, slice per chunk, one explode —
+    no shuffle, no Python; the fan-out is ~n_words/(chunk−overlap)
+    rows per doc, each carrying only its own slice.
+
+    Zero-word documents drop (no chunks to emit — same contract as
+    repetition_profile); NULL text is the empty document.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col).alias("_id"), ws.alias("_ws")).filter(
+        F.size("_ws") > 0
+    )
+    # start grid caps at n - overlap - 1: a start beyond that yields a
+    # tail chunk fully contained in its predecessor's overlap window
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_ws") - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("_ws"), s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.size("_ws") - s, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return base.select("_id", F.explode(chunks).alias("_c")).select(
+        F.col("_id").alias(id_col),
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
     out = token_counts(df, text_col)
