@@ -1365,3 +1365,39 @@ def test_canonical_url_cases_and_idempotency(spark):
         for r in df2.select("i", canonical_url(F.col("url")).alias("c")).collect()
     }
     assert got2 == got
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """Lee-et-al-family exact-substring spans: within-doc repeats
+    count (unlike boilerplate doc frequencies), overlapping covered
+    windows merge to ONE maximal span, and sub-n duplicates are
+    invisible (the granularity knob)."""
+    df = spark.createDataFrame(
+        [
+            # doc 0 repeats a 5-word phrase internally -> both copies
+            # are spans even though no other doc has it
+            (0, "p q r s t zz p q r s t"),
+            # docs 1/2 share a 6-word run -> ONE merged maximal span
+            # each (two overlapping 5-gram windows)
+            (1, "aa one two three four five six bb"),
+            (2, "cc one two three four five six dd"),
+            # docs 3/4 share only 3 words: invisible at n=5
+            (3, "ee ff short shared run gg hh"),
+            (4, "ii jj short shared run kk ll"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=5, min_occurrences=2).collect()
+    )
+    assert rows == [
+        (0, 0, 4, 5),
+        (0, 6, 10, 5),
+        (1, 1, 6, 6),
+        (2, 1, 6, 6),
+    ]
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, "doc_id", "text", n=0)
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, "doc_id", "text", min_occurrences=1)

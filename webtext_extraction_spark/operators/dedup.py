@@ -469,6 +469,77 @@ def remove_boilerplate(
     return _cleaned_select(joined, id_col, kept)
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    operator family at word granularity: every MAXIMAL span whose
+    n-gram windows all occur >= ``min_occurrences`` times in the
+    corpus (total occurrences, within-doc repeats included — unlike
+    boilerplate_ngrams' document frequencies, memorized text repeated
+    inside one doc counts).  Suffix arrays don't distribute; the
+    standard scalable equivalent is n-gram fingerprinting: a span of
+    length >= n is duplicated iff each of its n-windows is, so
+    merging covered windows reconstructs the maximal spans exactly
+    (granularity n — spans shorter than n are invisible, the
+    documented knob).
+
+    Shape: grams are HASHED (portable_hash64 — 8-byte shuffle keys);
+    one groupBy(gram) for global occurrence counts, a semi-join back
+    (hashes only, payloads never shuffle), covered positions merged
+    per doc by gaps-and-islands (position - rank is constant within a
+    contiguous run) — one window + one groupBy on the doc key.
+
+    Output: (id, span_start, span_end, span_words) — inclusive WORD
+    offsets, span_words = end - start + 1 >= n.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
+    )
+    grams = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(ngrams_of_words(F.col("_ws"), n), portable_hash64)
+        ).alias("p", "gh"),
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup_grams, "gh", "left_semi")
+        .select("_id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("ci"))
+        .distinct()
+    )
+    w = Window.partitionBy("_id").orderBy("ci")
+    islands = covered.withColumn(
+        "_isl", F.col("ci") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("ci").cast("int").alias("span_start"),
+            F.max("ci").cast("int").alias("span_end"),
+            F.count("*").cast("int").alias("span_words"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "span_start", "span_end", "span_words"
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
