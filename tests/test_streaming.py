@@ -357,3 +357,61 @@ def test_stream_session_rollup_matches_batch_sessionize(spark, tmp_path):
         for r in session_rollup(batch, "user_id", "ts", 30, "event_id").collect()
     }
     assert sorted(roll.values()) == sorted(got.values())
+
+
+def test_stream_session_rollup_restart_no_duplicates(spark, tmp_path):
+    """Restarting the session query with the same checkpoint must not
+    re-emit closed sessions (file-sink commit log), and later files
+    keep extending/closing sessions correctly."""
+    import datetime
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from webtext_extraction_spark.streaming.stream import stream_session_rollup
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    sec = lambda s: t0 + datetime.timedelta(seconds=s)
+    inp = str(tmp_path / "sr_in")
+    out = str(tmp_path / "sr_out")
+    ckpt = str(tmp_path / "sr_ckpt")
+    spark.createDataFrame(
+        [(1, 0, sec(0)), (1, 1, sec(10))], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame([(7, 70, sec(5_000))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q = stream_session_rollup(
+        spark, inp, out, ckpt, schema=schema, gap="30 seconds", watermark="10 seconds"
+    )
+    q.awaitTermination(300)
+    first = [
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert (1, sec(0), 2) in first
+
+    # restart: a new user session + a later sentinel; the old closed
+    # session must not re-emit
+    spark.createDataFrame(
+        [(2, 20, sec(6_000)), (2, 21, sec(6_005))], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame([(7, 71, sec(20_000))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = stream_session_rollup(
+        spark, inp, out, ckpt, schema=schema, gap="30 seconds", watermark="10 seconds"
+    )
+    q2.awaitTermination(300)
+    rows = [
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert rows.count((1, sec(0), 2)) == 1  # no duplicate emission
+    assert (2, sec(6_000), 2) in rows
