@@ -1,0 +1,129 @@
+"""spark-submit entry point for the corpus-curation job — the
+training-data half of the engine (the extraction half ships as
+jobs/run_extract.py):
+
+    zip -r engine.zip webtext_extraction_spark/
+    spark-submit --py-files engine.zip \\
+        --num-executors $N --executor-cores 4 \\
+        jobs/run_curate.py \\
+        --input /data/documents --output /data/curated \\
+        --lang en --min-quality 0.6 --max-dup-frac 0.8 \\
+        --bench /data/benchmarks --dedup neardup --scrub-pii
+
+Gates compose in one DataFrame statement (each is the library
+operator the driver gate oracles): language/quality (text_profile),
+repetition (repetition_profile, Gopher dup_word_char_frac), benchmark
+decontamination (4-gram overlap vs --bench), near-dup cluster keepers
+(minhash-LSH + connected components) or exact-dup keepers, then
+optional PII scrubbing of the surviving text.  Every gate is optional
+— skip a flag and its operator never enters the plan (Catalyst sees
+only what you asked for).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="corpus curation job")
+    parser.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--lang", default=None, help="keep only this lang_pred (e.g. en)")
+    parser.add_argument("--min-quality", type=float, default=None)
+    parser.add_argument("--max-dup-frac", type=float, default=None,
+                        help="Gopher dup_word_char_frac ceiling")
+    parser.add_argument("--bench", default=None,
+                        help="benchmark parquet for decontamination (4-gram overlap)")
+    parser.add_argument("--dedup", choices=["none", "exact", "neardup"], default="none",
+                        help="keep only cluster keepers (exact md5 / minhash-LSH+CC)")
+    parser.add_argument("--jaccard", type=float, default=0.7)
+    parser.add_argument("--scrub-pii", action="store_true")
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from webtext_extraction_spark.operators import contamination, dedup, privacy, textstats
+
+    spark = SparkSession.builder.appName("webtext-curate").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    docs = spark.read.parquet(args.input)
+    idc, txt = args.id_col, args.text_col
+    out = docs
+
+    if args.lang or args.min_quality is not None:
+        prof = textstats.text_profile(docs, idc, txt).select(
+            idc, "lang_pred", "quality"
+        )
+        out = out.join(prof, idc)
+        if args.lang:
+            out = out.filter(F.col("lang_pred") == args.lang)
+        if args.min_quality is not None:
+            out = out.filter(F.col("quality") >= args.min_quality)
+
+    if args.max_dup_frac is not None:
+        rep = textstats.repetition_profile(docs, idc, txt).select(
+            idc, "dup_word_char_frac"
+        )
+        # left join: zero-word docs have no repetition row and pass
+        out = out.join(rep, idc, "left").filter(
+            F.coalesce(F.col("dup_word_char_frac"), F.lit(0.0)) <= args.max_dup_frac
+        )
+
+    if args.bench:
+        bench = spark.read.parquet(args.bench)
+        cont = contamination.decontaminate(docs, bench, idc, txt, n=4).select(
+            idc, "contaminated"
+        )
+        out = out.join(cont, idc).filter(~F.col("contaminated")).drop("contaminated")
+
+    if args.dedup == "exact":
+        dups = dedup.exact_duplicates(docs, idc, txt)
+        losers = (
+            docs.select(F.md5(F.col(txt)).alias("content_hash"), F.col(idc))
+            .join(dups.select("content_hash", "keeper_id"), "content_hash")
+            .filter(F.col(idc) != F.col("keeper_id"))
+            .select(idc)
+        )
+        out = out.join(losers, idc, "left_anti")
+    elif args.dedup == "neardup":
+        pairs = dedup.minhash_lsh_pairs(
+            docs, idc, txt, num_hashes=8, bands=4, jaccard_threshold=args.jaccard
+        )
+        nodes = docs.select(F.col(idc).alias("node"))
+        keepers = (
+            dedup.connected_components(pairs, nodes, check_every=2)
+            .filter(F.col("node") == F.col("component"))
+            .select(F.col("node").alias(idc))
+        )
+        out = out.join(keepers, idc)
+
+    if args.scrub_pii:
+        scrubbed = privacy.scrub_pii(out, idc, txt)
+        out = out.drop(txt).join(
+            scrubbed.select(
+                idc, F.col("scrubbed_text").alias(txt), "n_email", "n_ipv4", "n_phone"
+            ),
+            idc,
+        )
+
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"curated rows: {n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
