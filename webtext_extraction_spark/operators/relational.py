@@ -94,6 +94,14 @@ def sessionize(
     (ts, tiebreak) order).  ``tiebreak`` is REQUIRED: equal timestamps
     would otherwise make lag order — and therefore session ids —
     partition-order-dependent.
+
+    Skew note (stated honestly): an order-sensitive per-key window
+    cannot be salted — one task sorts the largest key's full history,
+    so a single pathological key (one conversation with 10⁹ turns)
+    bounds the stage.  At that shape, range-partition the key's
+    timeline and stitch boundary sessions (the pack_sequences
+    offset move), or use the streaming twin whose state store holds
+    only open sessions.
     """
     if gap_seconds < 0:
         raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
