@@ -411,3 +411,33 @@ def test_sessionize_single_exchange_shared_sort(spark, tmp_path):
     plan = _plan(sessionize(spark.read.parquet(p), "user_id", "ts", 5, "event_id"))
     assert _node_ids(plan, "Exchange") == 1
     assert _node_ids(plan, "Sort") == 1
+
+
+def test_chunk_documents_is_shuffle_free(spark, tmp_path):
+    from webtext_extraction_spark.operators.textstats import chunk_documents
+
+    p = str(tmp_path / "docs_ck")
+    spark.createDataFrame(
+        [(i, "some words repeated here %d" % i) for i in range(10)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(chunk_documents(spark.read.parquet(p), "doc_id", "text", 4, 1))
+    assert _node_ids(plan, "Exchange") == 0
+    assert _node_ids(plan, "ArrowEvalPython") == 0
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark, tmp_path):
+    """Occurrence counting and coverage shuffles carry hashed grams and
+    positions — the text column never enters an Exchange."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.dedup import duplicate_spans
+
+    p = str(tmp_path / "docs_ds")
+    spark.createDataFrame(
+        [(i, "shared run of words plus tail %d" % i) for i in range(10)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(duplicate_spans(spark.read.parquet(p), "doc_id", "text", n=4))
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
