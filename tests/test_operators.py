@@ -1401,3 +1401,60 @@ def test_duplicate_spans_hand_computed(spark):
         dedup.duplicate_spans(df, "doc_id", "text", n=0)
     with pytest.raises(ValueError):
         dedup.duplicate_spans(df, "doc_id", "text", min_occurrences=1)
+
+
+def test_canonical_url_matches_python_reference_randomized(spark):
+    """Independent python-re reimplementation of the SAME three rules
+    over randomized messy URLs — catches Spark-expression drift
+    (regex semantics, split/sort behavior) across a wider input space
+    than the hand cases."""
+    import random
+    import re
+
+    from webtext_extraction_spark.functions.text import (
+        TRACKING_PARAM_EXACT,
+        canonical_url,
+    )
+
+    def py_canon(u):
+        nf = re.sub(r"#.*$", "", u)
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", nf)
+        pre = m.group(1) if m else ""
+        lw = pre.lower() + nf[len(pre):]
+        path = re.sub(r"\?.*$", "", lw)
+        q = re.sub(r"^[^?]*\?", "", lw) if "?" in lw else ""
+        params = [
+            p
+            for p in q.split("&")
+            if p != ""
+            and not p.startswith("utm_")
+            and p.split("=", 1)[0] not in TRACKING_PARAM_EXACT
+        ]
+        sq = "&".join(sorted(params))
+        return path + "?" + sq if sq else path
+
+    rnd = random.Random(41)
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Ex.COM", "www.site.jp", "a-b.Org", "X9.net"]
+    paths = ["", "/", "/Path/Page", "/a/b.html", "/日本語/p"]
+    params = ["a=1", "B=2", "utm_source=x", "utm_y", "gclid=9", "z", "ref=tw",
+              "refx=1", "a=1", "c=%20d", ""]
+    frags = ["", "#f", "#a?b=1", "#"]
+    urls = []
+    for i in range(120):
+        u = (
+            rnd.choice(schemes) + "://" + rnd.choice(hosts) + rnd.choice(paths)
+        )
+        ps = [rnd.choice(params) for _ in range(rnd.randint(0, 4))]
+        if ps:
+            u += "?" + "&".join(ps)
+        u += rnd.choice(frags)
+        urls.append((i, u))
+    urls += [(900, "no scheme at all"), (901, "http://"), (902, "?only=query")]
+    df = spark.createDataFrame(urls, ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in urls:
+        assert got[i] == py_canon(u), (i, u, got[i], py_canon(u))
