@@ -166,3 +166,20 @@ def test_real_resizer_through_spark_seam(spark):
         ref = resize_nearest(decode_image(local[r["media_id"]]), 5, 4)
         assert np.array_equal(got, ref)
         assert (r["meta_width"], r["meta_height"]) == (5, 4)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**31 - 1))
+def test_codec_roundtrips_fuzz(h, w, seed):
+    """Both containers roundtrip bit-exactly for arbitrary dims
+    (every BMP padding residue included) and arbitrary content."""
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_ppm(arr)), arr)
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+    tw, th = (w % 7) + 1, (h % 5) + 1
+    out = decode_image(image_resizer(encode_bmp(arr), tw, th))
+    assert out.shape == (th, tw, 3)
+    assert np.array_equal(out, resize_nearest(arr, tw, th))
