@@ -44,6 +44,9 @@ def main(argv=None):
     parser.add_argument("--min-quality", type=float, default=None)
     parser.add_argument("--max-dup-frac", type=float, default=None,
                         help="Gopher dup_word_char_frac ceiling")
+    parser.add_argument("--min-logprob", type=float, default=None,
+                        help="unigram-LM mean-logprob floor (CCNet-style; "
+                             "model learned on the input corpus)")
     parser.add_argument("--bench", default=None,
                         help="benchmark parquet for decontamination (4-gram overlap)")
     parser.add_argument("--dedup", choices=["none", "exact", "neardup"], default="none",
@@ -80,6 +83,12 @@ def main(argv=None):
         # left join: zero-word docs have no repetition row and pass
         out = out.join(rep, idc, "left").filter(
             F.coalesce(F.col("dup_word_char_frac"), F.lit(0.0)) <= args.max_dup_frac
+        )
+
+    if args.min_logprob is not None:
+        lm = textstats.unigram_logprob(docs, idc, txt).select(idc, "logprob_mean")
+        out = out.join(lm, idc).filter(
+            F.col("logprob_mean") >= args.min_logprob
         )
 
     if args.bench:

@@ -37,6 +37,7 @@ def test_run_curate_gates_compose(spark, tmp_path, monkeypatch):
             "--output", out,
             "--lang", "en",
             "--min-quality", "0.3",
+            "--min-logprob", "-12.0",
             "--dedup", "exact",
             "--scrub-pii",
         ]
