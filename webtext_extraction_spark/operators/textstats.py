@@ -383,10 +383,17 @@ def unigram_logprob(
     commute.  OOV tokens (possible only with a supplied ``freqs``)
     back off to ln(0.5/total).
 
-    Shape: explode → [inline learn: groupBy th] → join on th (8-byte
-    hashed keys, uniform) → groupBy doc.  Shuffles carry hashes and
-    counts, never text.  Zero-token docs drop (callers keep them with
-    a left join, same contract as repetition_profile).
+    Shape: explode → [inline learn: groupBy th] → join on th →
+    groupBy doc.  Shuffles carry hashes and counts, never text.  The
+    learn groupBy is skew-immune (map-side partial aggregation
+    collapses hot tokens before the shuffle); the score JOIN is the
+    one genuinely hot-keyed stage — a token that is 5% of a 100 TB
+    corpus sends 5% of the explode through one partition — which is
+    exactly the shape AQE's skew-join splitting (on in session.py)
+    exists for; the manual alternative (broadcast the head-K tokens,
+    shuffle only the tail) is noted, not built.  Zero-token docs drop
+    (callers keep them with a left join, same contract as
+    repetition_profile).
 
     Output: (id, n_tokens, logprob_mean).
     """
