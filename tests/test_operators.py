@@ -1485,3 +1485,50 @@ def test_ivf_tune_n_probe_monotone_and_reaches_full_recall(spark):
     assert out["n_probe"] <= 4
     with pytest.raises(ValueError):
         similarity.ivf_tune_n_probe(emb, query_ids=[], k=3)
+
+
+def test_sessionize_string_keys_transcript_shape(spark):
+    """conv_id-style STRING keys (the transcripts use-case) — same
+    segmentation semantics as numeric keys."""
+    import datetime
+
+    from webtext_extraction_spark.operators.relational import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("convA", 0, t0),
+        ("convA", 1, t0 + datetime.timedelta(seconds=5)),
+        ("convA", 2, t0 + datetime.timedelta(seconds=500)),
+        ("convB", 3, t0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, ts timestamp_ntz")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_idx"]
+        for r in sessionize(df, "conv_id", "ts", 60, "turn_idx").collect()
+    }
+    assert got == {("convA", 0): 0, ("convA", 1): 0, ("convA", 2): 1, ("convB", 3): 0}
+
+
+def test_pack_sequences_order_col_distinct_values_shuffled(spark):
+    """An order_col different from the id (distinct values) defines the
+    packing order regardless of input partitioning; the id rides as
+    tiebreak only."""
+    import random
+
+    rnd = random.Random(13)
+    rows = [(i, "w " * (i % 5 + 1), 1000 - i) for i in range(60)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, ["doc_id", "text", "pos"]).repartition(6)
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in textstats.pack_sequences(
+            df, "doc_id", "text", budget=12, order_col="pos", num_partitions=4
+        ).collect()
+    }
+    # reference: order by pos ascending == doc_id DESCENDING
+    toks = {i: i % 5 + 1 for i in range(60)}
+    acc, expect = 0, {}
+    for i in sorted(toks, reverse=True):
+        expect[i] = acc // 12
+        acc += toks[i]
+    assert got == expect
