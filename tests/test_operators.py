@@ -1532,3 +1532,65 @@ def test_pack_sequences_order_col_distinct_values_shuffled(spark):
         expect[i] = acc // 12
         acc += toks[i]
     assert got == expect
+
+
+def test_remove_duplicate_spans_hand_and_python_oracle(spark):
+    """Keep-first exact-substring removal: the globally-first (id, p)
+    occurrence of each duplicated n-gram survives, all others strip —
+    hand cases plus a randomized python replay of the exact greedy
+    rule."""
+    import random
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two three four five tail0"),
+            (1, "head1 one two three four five"),   # loses the shared run
+            (2, "a b c d e x a b c d e"),           # within-doc: 2nd copy strips
+            (3, "totally unique words here indeed"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    assert rows[0]["cleaned_text"] == "one two three four five tail0"
+    assert rows[1]["cleaned_text"] == "head1"
+    assert rows[2]["cleaned_text"] == "a b c d e x"
+    assert rows[3]["n_removed_words"] == 0
+
+    def py_remove(docs, n, min_occ):
+        grams = {}
+        for i, t in docs:
+            ws = t.split()
+            for p in range(max(len(ws) - n + 1, 0)):
+                grams.setdefault(" ".join(ws[p : p + n]), []).append((i, p))
+        covered = {}
+        for g, occ in grams.items():
+            if len(occ) < min_occ:
+                continue
+            keep = min(occ)
+            for i, p in occ:
+                if (i, p) != keep:
+                    covered.setdefault(i, set()).update(range(p, p + n))
+        out = {}
+        for i, t in docs:
+            ws = t.split()
+            kept = [w for k, w in enumerate(ws) if k not in covered.get(i, set())]
+            out[i] = (" ".join(kept), len(ws), len(ws) - len(kept))
+        return out
+
+    rnd = random.Random(17)
+    vocab = ["t%d" % i for i in range(12)]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(4, 25))))
+        for i in range(40)
+    ]
+    expect = py_remove(docs, 4, 2)
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_words"], r["n_removed_words"])
+        for r in dedup.remove_duplicate_spans(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text", n=4
+        ).collect()
+    }
+    assert got == expect

@@ -540,6 +540,79 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The REMOVAL action over :func:`duplicate_spans` — Lee et al.
+    2022's dedup proper: of every duplicated n-gram window, ONE
+    occurrence survives (the globally first by ``(id, position)``) and
+    all others are stripped; survivors re-join with single spaces.
+
+    Greedy per-gram rule, stated exactly: keeper(g) = min (id, p) over
+    g's occurrences; a word position is stripped iff some duplicated
+    gram covers it in a NON-keeper occurrence.  A keeper occurrence
+    can therefore still lose words to OTHER grams whose keepers live
+    elsewhere — the standard greedy-removal property (exact
+    first-occurrence-span preservation needs global interval
+    resolution, which serializes).
+
+    Shape: keeper election is ONE skew-safe aggregation
+    (``groupBy(gh).agg(count, min(struct(id, p)))`` — map-side combine
+    collapses hot grams before the shuffle, no per-gram window), then
+    a join back on the 8-byte gram hash, covered-position fan-out, and
+    the same rebuild tail as remove_boilerplate.  Payloads never
+    shuffle.
+
+    Output: (id, cleaned_text, n_words, n_removed_words,
+    removed_frac) — one row per input doc, remove_boilerplate's shape.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
+    )
+    grams = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(ngrams_of_words(F.col("_ws"), n), portable_hash64)
+        ).alias("p", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("_occ"),
+            F.min(F.struct(F.col("_id").alias("i"), F.col("p").alias("q"))).alias(
+                "_keep"
+            ),
+        )
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("gh", "_keep")
+    )
+    covered = (
+        grams.join(dup, "gh")
+        .filter(
+            ~((F.col("_id") == F.col("_keep.i")) & (F.col("p") == F.col("_keep.q")))
+        )
+        .select("_id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("ci"))
+        .groupBy("_id")
+        .agg(F.collect_set("ci").alias("_covered"))
+    )
+    joined = base.join(covered, "_id", "left").withColumn(
+        "_covered", F.coalesce("_covered", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_ws"), lambda w, i: ~F.array_contains(F.col("_covered"), i.cast("int"))
+    )
+    return _cleaned_select(joined, id_col, kept)
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
