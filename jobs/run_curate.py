@@ -49,8 +49,13 @@ def main(argv=None):
                              "model learned on the input corpus)")
     parser.add_argument("--bench", default=None,
                         help="benchmark parquet for decontamination (4-gram overlap)")
-    parser.add_argument("--dedup", choices=["none", "exact", "neardup"], default="none",
-                        help="keep only cluster keepers (exact md5 / minhash-LSH+CC)")
+    parser.add_argument("--dedup", choices=["none", "exact", "neardup", "substring"],
+                        default="none",
+                        help="exact md5 / minhash-LSH+CC keepers drop whole "
+                             "docs; 'substring' instead REWRITES text, "
+                             "stripping all-but-first occurrences of "
+                             "duplicated --substring-n-gram spans (Lee et al.)")
+    parser.add_argument("--substring-n", type=int, default=20)
     parser.add_argument("--jaccard", type=float, default=0.7)
     parser.add_argument("--scrub-pii", action="store_true")
     args = parser.parse_args(argv)
@@ -107,6 +112,14 @@ def main(argv=None):
             .select(idc)
         )
         out = out.join(losers, idc, "left_anti")
+    elif args.dedup == "substring":
+        cleaned = dedup.remove_duplicate_spans(
+            docs, idc, txt, n=args.substring_n
+        )
+        out = out.drop(txt).join(
+            cleaned.select(idc, F.col("cleaned_text").alias(txt), "removed_frac"),
+            idc,
+        )
     elif args.dedup == "neardup":
         pairs = dedup.minhash_lsh_pairs(
             docs, idc, txt, num_hashes=8, bands=4, jaccard_threshold=args.jaccard

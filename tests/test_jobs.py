@@ -55,3 +55,26 @@ def test_run_curate_gates_compose(spark, tmp_path, monkeypatch):
     assert rows[7]["n_email"] == 1
     # quality/lang columns rode along
     assert rows[1]["lang_pred"] == "en"
+
+
+def test_run_curate_substring_dedup_rewrites_text(spark, tmp_path, monkeypatch):
+    from jobs import run_curate
+
+    rows = [
+        (0, "alpha unique start one two three four five end0"),
+        (1, "beta prefix one two three four five suffix1"),
+        (2, "gamma fully distinct content with no shared runs"),
+    ]
+    inp = str(tmp_path / "ss_in")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    out = str(tmp_path / "ss_out")
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    run_curate.main(
+        ["--input", inp, "--output", out, "--dedup", "substring", "--substring-n", "5"]
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3  # substring mode drops no docs
+    assert "one two three four five" in got[0]["text"]      # first occurrence kept
+    assert "one two three four five" not in got[1]["text"]  # later occurrence stripped
+    assert got[1]["text"] == "beta prefix suffix1"
+    assert got[2]["removed_frac"] == 0.0
