@@ -490,10 +490,12 @@ def duplicate_spans(
     documented knob).
 
     Shape: grams are HASHED (portable_hash64 — 8-byte shuffle keys);
-    one groupBy(gram) for global occurrence counts, a semi-join back
-    (hashes only, payloads never shuffle), covered positions merged
-    per doc by gaps-and-islands (position - rank is constant within a
-    contiguous run) — one window + one groupBy on the doc key.
+    one groupBy(gram) for global occurrence counts (map-side combine —
+    skew-safe), a semi-join back (hashes only, payloads never shuffle;
+    a mega-hot gram is the AQE-skew-join class, enabled in session.py),
+    covered positions merged per doc by gaps-and-islands
+    (position - rank is constant within a contiguous run) — one window
+    + one groupBy on the doc key.
 
     Output: (id, span_start, span_end, span_words) — inclusive WORD
     offsets, span_words = end - start + 1 >= n.
