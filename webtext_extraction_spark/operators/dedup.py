@@ -116,7 +116,15 @@ def minhash_lsh_pairs(
     The minhash signature is derived from the SAME hashed array —
     ``(h % TOKEN_SPACE)·a + b`` ≡ with_minhash_signature's per-word
     value, and array_min is duplicate-insensitive — so the text column
-    is tokenized exactly once."""
+    is tokenized exactly once.
+
+    ZERO-TOKEN documents (empty or NULL text) are excluded before
+    banding: their minhash is undefined (array_min of an empty array),
+    their pairwise Jaccard is 0/0 — two colliding empties crashed the
+    whole job under ANSI division (r4 random-corpus soak finding) —
+    and at corpus scale they all share one degenerate bucket (a
+    quadratic skew bomb).  Empty-vs-empty duplication is exact
+    duplication; ``exact_duplicates`` owns it."""
     rows_per_band = num_hashes // bands
 
     def perm(a: int, b: int):
@@ -129,7 +137,7 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         hashed_word_set(F.col(text_col)).alias("_ws"),
-    )
+    ).filter(F.size("_ws") > 0)
     sigs = base.withColumn(
         "minhash",
         F.array(
@@ -197,7 +205,13 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     fingerprint.  Pure expressions, no shuffle, no Python."""
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63] (bigint fingerprint), got {bits}")
-    hashes = F.transform(word_set(F.col(text_col)), lambda w: portable_hash64(w))
+    # NULL text = the empty document (simhash 0, matching the oracle's
+    # list_sum(NULL)->0 behavior); Spark's aggregate would otherwise
+    # propagate NULL (r4 random-corpus soak finding).  Zero-token docs
+    # therefore all carry fingerprint 0 and trivially pair with each
+    # other in simhash_near_duplicates — identical on both engines.
+    ws = F.coalesce(word_set(F.col(text_col)), F.array().cast("array<string>"))
+    hashes = F.transform(ws, lambda w: portable_hash64(w))
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
@@ -305,10 +319,17 @@ def ngram_jaccard_pairs(
     """Exact character-shingle Jaccard for id pairs within ``window`` of
     each other (bounded comparison set — the verification half of a
     dedup pass; candidate generation at scale is minhash_lsh_pairs)."""
-    # dynamic-start substring needs the expr form of transform
+    # dynamic-start substring needs the expr form of transform.
+    # NULL text is the empty document: without the coalesce, Spark's
+    # greatest() IGNORES the NULL length (shingles = [NULL], and
+    # array_intersect matches NULL elements) while DuckDB propagates
+    # it — two NULL-text docs paired at 1.0 on one engine only (r4
+    # random-corpus soak finding).  With '', both engines shingle to
+    # [''] and empty docs pair at 1.0 consistently.
+    tc = f"coalesce({text_col}, '')"
     shingles = F.expr(
-        f"array_distinct(transform(sequence(0, greatest(length({text_col}) - {n}, 0)),"
-        f" i -> substr({text_col}, i + 1, {n})))"
+        f"array_distinct(transform(sequence(0, greatest(length({tc}) - {n}, 0)),"
+        f" i -> substr({tc}, i + 1, {n})))"
     )
     base = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
     a, b = base.alias("a"), base.alias("b")

@@ -42,6 +42,11 @@ def _plane_weights(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def cosine(a, b):
+    """Cosine similarity; a zero-norm vector scores 0.0 against
+    everything (deterministic total ordering — no NULLs in rankings,
+    no ANSI divide-by-zero; r4 random-corpus soak finding).  Two
+    identical zero vectors are exact duplicates and belong to
+    exact-dedup, not the cosine threshold."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -50,7 +55,8 @@ def cosine(a, b):
     norm = lambda v: F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
-    return dot / (norm(a) * norm(b))
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
 
 
 def cosine_topk(
@@ -341,7 +347,10 @@ def int8_cosine(qa, qb):
             lambda acc, x: acc + x,
         ).cast("double")
     )
-    return dot.cast("double") / (norm(qa) * norm(qb))
+    denom = norm(qa) * norm(qb)
+    # all-zero qvec (zero-norm source vector) scores 0.0, same rule
+    # as the float cosine above
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot.cast("double") / denom)
 
 
 def cosine_topk_int8(

@@ -87,9 +87,12 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
 def fingerprint_expr(col) -> Column:
     """Order-sensitive rolling hash: acc = (acc*31 + h(w) mod 1e6+3)
     mod 1e9+7 — stays < 2^35 at every step, so no overflow divergence
-    between engines."""
+    between engines.  NULL text fingerprints as the empty document
+    (0) — Spark's aggregate would otherwise propagate NULL while the
+    DuckDB replay yields 0 (found by the r4 random-corpus soak; the
+    driver corpus carries no NULL text, so the gate never saw it)."""
     return F.aggregate(
-        words(col),
+        F.coalesce(words(col), F.array().cast("array<string>")),
         F.lit(0).cast("long"),
         lambda acc, w: (acc * 31 + portable_hash64(w) % FP_TOKEN_MOD) % FP_MOD,
     )
