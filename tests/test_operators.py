@@ -1277,6 +1277,108 @@ def test_sessionize_matches_python_reference_randomized(spark):
     assert got == expect
 
 
+def test_asof_join_hand_computed_edges(spark):
+    import datetime
+
+    from webtext_extraction_spark.operators.relational import asof_join
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "a", T(5)), (2, "a", T(10)), (3, "b", T(3)), (4, "c", T(7))],
+        "eid int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # key a: equal-(key, ts) pair at t=9 — max tiebreak must win
+        [(100, "a", T(5)), (101, "a", T(9)), (103, "a", T(9)), (102, "b", T(4))],
+        "rid int, k string, ts timestamp",
+    )
+    back = {
+        r["eid"]: (r["rid"], r["matched_ts_us"])
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert back[1][0] == 100  # equal-ts match is inclusive
+    assert back[2][0] == 103  # max tiebreak wins the t=9 tie
+    assert back[3] == (None, None)  # right exists but only later
+    assert back[4] == (None, None)  # key absent from right
+
+    fwd = {
+        r["eid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "ts",
+            "ts",
+            ["rid"],
+            direction="forward",
+            tolerance_us=2_000_000,
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert fwd[1] == 100  # staleness 0 within tolerance
+    assert fwd[2] is None  # nothing at-or-after t=10
+    assert fwd[3] == 102  # 1 s ahead, within 2 s tolerance
+    assert fwd[4] is None
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "ts", ["rid"], direction="nearest")
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "ts", ["k"])  # collides with left
+
+
+def test_asof_join_matches_python_reference_randomized(spark):
+    import datetime
+    import random
+
+    from webtext_extraction_spark.operators.relational import asof_join
+
+    rnd = random.Random(47)
+    t0 = datetime.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for i in range(250):
+        lrows.append((i, rnd.randrange(6), t0 + datetime.timedelta(seconds=rnd.randint(0, 50))))
+    for j in range(120):
+        # coarse grid forces equal-(key, ts) right collisions
+        rrows.append((j, rnd.randrange(6), t0 + datetime.timedelta(seconds=rnd.randint(0, 50))))
+    rnd.shuffle(lrows)
+    rnd.shuffle(rrows)
+    left = spark.createDataFrame(lrows, "eid long, k long, ts timestamp_ntz").repartition(5)
+    right = spark.createDataFrame(rrows, "rid long, k long, ts timestamp_ntz").repartition(4)
+
+    for direction, tol in [("backward", None), ("forward", None), ("backward", 7_000_000)]:
+        got = {
+            r["eid"]: (r["rid"], r["matched_ts_us"])
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["rid"],
+                direction=direction, tolerance_us=tol, right_tiebreak="rid",
+            ).collect()
+        }
+        expect = {}
+        for eid, k, lts in lrows:
+            if direction == "backward":
+                cand = [(rts, rid) for rid, rk, rts in rrows if rk == k and rts <= lts]
+                best = max(cand) if cand else None  # latest ts, then max rid
+            else:
+                cand = [(rts, -rid) for rid, rk, rts in rrows if rk == k and rts >= lts]
+                best = min(cand) if cand else None  # earliest ts, then max rid
+            if best is not None and tol is not None:
+                if abs((best[0] - lts).total_seconds()) * 1e6 > tol:
+                    best = None
+            if best is None:
+                expect[eid] = (None, None)
+            else:
+                rts, rid = best
+                # NTZ wall time == UTC epoch (session tz pinned): derive
+                # micros from the naive datetime, not .timestamp() (local-tz)
+                us = (rts - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+                    microseconds=1
+                )
+                expect[eid] = (abs(rid), us)
+        assert got == expect, direction
+
+
 def test_topk_recall_hand_computed_including_silent_miss(spark):
     exact = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2), (2, 30, 1)],

@@ -413,6 +413,35 @@ def test_sessionize_single_exchange_shared_sort(spark, tmp_path):
     assert _node_ids(plan, "Sort") == 1
 
 
+def test_asof_join_single_exchange_no_join_node(spark, tmp_path):
+    """asof_join is the merge-join formulation: union both sides, ONE
+    hash Exchange on the key, ONE Sort, a running-last Window — and no
+    join operator at all (the naive range-join would plan a
+    BroadcastNestedLoopJoin, quadratic per key)."""
+    import datetime
+
+    from webtext_extraction_spark.operators.relational import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    lp, rp = str(tmp_path / "asof_l"), str(tmp_path / "asof_r")
+    spark.createDataFrame(
+        [(i, i % 3, t0 + datetime.timedelta(seconds=i)) for i in range(30)],
+        "eid long, k long, ts timestamp_ntz",
+    ).write.parquet(lp)
+    spark.createDataFrame(
+        [(i, i % 3, t0 + datetime.timedelta(seconds=i * 2)) for i in range(10)],
+        "rid long, k long, ts timestamp_ntz",
+    ).write.parquet(rp)
+    plan = _plan(
+        asof_join(
+            spark.read.parquet(lp), spark.read.parquet(rp), "k", "ts", "ts", ["rid"]
+        )
+    )
+    assert _node_ids(plan, "Exchange") == 1
+    assert _node_ids(plan, "Sort") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 def test_chunk_documents_is_shuffle_free(spark, tmp_path):
     from webtext_extraction_spark.operators.textstats import chunk_documents
 

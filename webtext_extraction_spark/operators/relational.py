@@ -149,6 +149,104 @@ def session_rollup(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the nearest right row on
+    the same key at-or-before (``backward``) / at-or-after
+    (``forward``) its timestamp — the standard "state in effect at
+    event time" join of a training-data pipeline (rule-table version
+    per turn, latest checkpoint per event, price as of trade).
+
+    Spark has no native as-of join; the naive formulations are a
+    non-equi range join (BNLJ — quadratic per key) or a groupBy-max
+    correlated subquery (two joins + an extra shuffle).  This is the
+    merge-join formulation instead: union-tag both sides, ONE hash
+    shuffle on the key, one sort per partition, and a running
+    ``last(value, ignorenulls=True)`` window — O(n log n) per
+    partition, payload columns ride a single struct.  Same skew caveat
+    as :func:`sessionize`: one pathological key serializes into one
+    task's sort.
+
+    Semantics (pinned by the python-oracle unit tests and the DuckDB
+    ``ASOF JOIN`` gate oracle):
+
+    * match is INCLUSIVE at equal timestamps (right-at-ts visible to
+      left-at-ts), matching DuckDB's ``l.ts >= r.ts``;
+    * equal-(key, ts) right rows: the max ``right_tiebreak`` wins
+      (required when right is not unique per (key, ts) — DuckDB's
+      ASOF picks an arbitrary one there, so gate queries must
+      pre-dedup the right side);
+    * ``tolerance_us`` nulls out matches staler than the bound
+      (DuckDB replays it as a post-join CASE WHEN);
+    * unmatched left rows keep NULL value/match columns (left join).
+
+    Output: all left columns + ``value_cols`` (from the matched right
+    row) + ``matched_ts_us`` (epoch micros of the matched right row,
+    long) — integer microseconds for exact cross-engine arithmetic,
+    same convention as :func:`sessionize`.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    sign = 1 if direction == "backward" else -1
+    # cast handles TIMESTAMP_NTZ inputs (UTC session tz, see sessionize)
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {clash}")
+
+    r_tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    rhs = right.select(
+        F.col(key_col).alias("_k"),
+        (r_us * sign).alias("_ord_us"),
+        F.lit(0).alias("_side"),
+        r_tb.alias("_tb"),
+        F.struct(
+            r_us.alias("matched_ts_us"), *[F.col(c) for c in value_cols]
+        ).alias("_rv"),
+    )
+    lhs = left.select(
+        "*",
+        F.col(key_col).alias("_k"),
+        (l_us * sign).alias("_ord_us"),
+        F.lit(1).alias("_side"),
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts (inclusive match);
+    # among equal-(key, ts) right rows the max tiebreak sorts last and
+    # therefore wins the running last()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ord_us", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+
+    out = matched.filter(F.col("_side") == 1)
+    if tolerance_us is not None:
+        # staleness = sign·(l_us − r_us); with _ord_us = l_us·sign this
+        # is _ord_us − sign·matched_ts_us (≥ 0 in both directions)
+        staleness = F.col("_ord_us") - F.col("_m").getField("matched_ts_us") * sign
+        out = out.withColumn(
+            "_m", F.when(staleness <= tolerance_us, F.col("_m"))
+        )
+    return out.select(
+        *left.columns,
+        *[F.col("_m").getField(c).alias(c) for c in value_cols],
+        F.col("_m").getField("matched_ts_us").alias("matched_ts_us"),
+    )
+
+
 def nav_char_ratio(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
     """A5 — sum of matched phrase lengths / total length, pure SQL."""
     phrase_arr = F.array(*[F.lit(p) for p in phrases])
