@@ -1277,6 +1277,36 @@ def test_sessionize_matches_python_reference_randomized(spark):
     assert got == expect
 
 
+def test_group_percentiles_matches_numpy_linear(spark):
+    import random
+
+    import numpy as np
+
+    from webtext_extraction_spark.operators.textstats import group_percentiles
+
+    rnd = random.Random(5)
+    rows = [("g%d" % rnd.randrange(3), float(rnd.randint(0, 1000))) for _ in range(400)]
+    rows += [("g9", 42.0)]  # single-element group: every p = the value
+    rows += [("g0", None)] * 5  # NULLs excluded, quantile_cont convention
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["g"], r["p"]): r["pct_value"]
+        for r in group_percentiles(df, "g", "v", ps).collect()
+    }
+    for g in ["g0", "g1", "g2", "g9"]:
+        vals = sorted(v for gg, v in rows if gg == g and v is not None)
+        for p in ps:
+            exp = round(float(np.percentile(vals, p * 100, method="linear")), 6)
+            assert abs(got[(g, p)] - exp) < 1e-9, (g, p)
+    assert got[("g9", 0.0)] == got[("g9", 1.0)] == 42.0
+
+    with pytest.raises(ValueError):
+        group_percentiles(df, "g", "v", [])
+    with pytest.raises(ValueError):
+        group_percentiles(df, "g", "v", [1.5])
+
+
 def test_asof_join_hand_computed_edges(spark):
     import datetime
 

@@ -413,6 +413,23 @@ def test_sessionize_single_exchange_shared_sort(spark, tmp_path):
     assert _node_ids(plan, "Sort") == 1
 
 
+def test_group_percentiles_single_exchange(spark, tmp_path):
+    """Rank-window percentiles: ONE hash Exchange (the final boundary
+    aggregate reuses the window's partitioning — hash(_g) already
+    clusters (_g, p)), ONE Sort, and the NULL-value filter pushed into
+    the parquet scan."""
+    from webtext_extraction_spark.operators.textstats import group_percentiles
+
+    p = str(tmp_path / "pctl")
+    spark.createDataFrame(
+        [("g%d" % (i % 3), float(i)) for i in range(60)], "g string, v double"
+    ).write.parquet(p)
+    plan = _plan(group_percentiles(spark.read.parquet(p), "g", "v"))
+    assert _node_ids(plan, "Exchange") == 1
+    assert _node_ids(plan, "Sort") == 1
+    assert "IsNotNull(v)" in plan  # pushed to the scan
+
+
 def test_asof_join_single_exchange_no_join_node(spark, tmp_path):
     """asof_join is the merge-join formulation: union both sides, ONE
     hash Exchange on the key, ONE Sort, a running-last Window — and no

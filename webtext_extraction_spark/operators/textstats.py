@@ -493,6 +493,65 @@ def chunk_documents(
     )
 
 
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float] | tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group percentiles with linear interpolation (the
+    percentile_cont / numpy-'linear' rule: h = (n−1)·p, interpolate
+    between ranks ⌊h⌋ and ⌈h⌉) — the length/token distribution half of
+    a corpus quality report.
+
+    Why not Spark's ``percentile()`` aggregate: that aggregate buffers
+    EVERY value of a group inside one executor's aggregation buffer —
+    a 10⁹-document source OOMs the task.  This formulation ranks with
+    a window instead: one hash Exchange + one Sort (sorts SPILL to
+    disk, aggregate buffers don't), then keeps only the ≤2 boundary
+    rows per (group, p) for a trivially small final groupBy.  The
+    explode fans each ranked row ×|ps| before the boundary filter, but
+    the fan-out is of 4-column scalar rows inside the same stage —
+    never a shuffle of payloads.
+
+    NULL values are excluded (the quantile_cont convention).  Output:
+    (group_col, p, pct_value) long-form, pct_value rounded to 6 dp —
+    bit-comparable with DuckDB ``quantile_cont`` because both engines
+    run the same double arithmetic on the same two ranked values.
+    """
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"ps must be non-empty fractions in [0, 1], got {ps}")
+    v = F.col(value_col).cast("double")
+    ranked = (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("_g").orderBy("_v")))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("_g")))
+    )
+    e = ranked.select(
+        "*", F.explode(F.array(*[F.lit(float(p)) for p in sorted(set(ps))])).alias("p")
+    )
+    h = (F.col("_n") - 1).cast("double") * F.col("p")
+    boundary = (
+        e.withColumn("_h", h)
+        .withColumn("_lo", F.floor(F.col("_h")).cast("long"))
+        .withColumn("_hi", F.ceil(F.col("_h")).cast("long"))
+        .filter((F.col("_rn") - 1 == F.col("_lo")) | (F.col("_rn") - 1 == F.col("_hi")))
+    )
+    agg = boundary.groupBy("_g", "p").agg(
+        F.max(F.when(F.col("_rn") - 1 == F.col("_lo"), F.col("_v"))).alias("_vlo"),
+        F.max(F.when(F.col("_rn") - 1 == F.col("_hi"), F.col("_v"))).alias("_vhi"),
+        F.max(F.col("_h") - F.col("_lo")).alias("_frac"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "p",
+        F.round(
+            F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo")), 6
+        ).alias("pct_value"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
     out = token_counts(df, text_col)
