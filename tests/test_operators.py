@@ -1307,6 +1307,37 @@ def test_group_percentiles_matches_numpy_linear(spark):
         group_percentiles(df, "g", "v", [1.5])
 
 
+def test_global_percentiles_matches_numpy_linear(spark):
+    import random
+
+    import numpy as np
+
+    from webtext_extraction_spark.operators.textstats import global_percentiles
+
+    rnd = random.Random(11)
+    vals = [float(rnd.randint(0, 5000)) for _ in range(3000)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 7, "v double"
+    ).repartition(7)
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["p"]: r["pct_value"]
+        for r in global_percentiles(df, "v", ps, num_partitions=6).collect()
+    }
+    for p in ps:
+        exp = round(float(np.percentile(vals, p * 100, method="linear")), 6)
+        assert abs(got[p] - exp) < 1e-9, p
+
+    # empty input and single-row corpus
+    assert global_percentiles(df.filter("v > 1e9"), "v", ps).collect() == []
+    one = spark.createDataFrame([(7.5,)], "v double")
+    assert {
+        r["pct_value"] for r in global_percentiles(one, "v", [0.0, 0.5, 1.0]).collect()
+    } == {7.5}
+    with pytest.raises(ValueError):
+        global_percentiles(df, "v", [-0.1])
+
+
 def test_asof_join_hand_computed_edges(spark):
     import datetime
 

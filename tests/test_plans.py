@@ -430,6 +430,22 @@ def test_group_percentiles_single_exchange(spark, tmp_path):
     assert "IsNotNull(v)" in plan  # pushed to the scan
 
 
+def test_global_percentiles_no_single_partition_exchange(spark, tmp_path):
+    """Whole-corpus percentiles must never plan `Exchange
+    SinglePartition` (the one-task global sort the operator exists to
+    avoid) — ranks come from range partitions + driver offsets."""
+    from webtext_extraction_spark.operators.textstats import global_percentiles
+
+    p = str(tmp_path / "gpctl")
+    spark.createDataFrame(
+        [(float(i),) for i in range(200)], "v double"
+    ).write.parquet(p)
+    plan = _plan(
+        global_percentiles(spark.read.parquet(p), "v", [0.5, 0.9], num_partitions=4)
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_asof_join_single_exchange_no_join_node(spark, tmp_path):
     """asof_join is the merge-join formulation: union both sides, ONE
     hash Exchange on the key, ONE Sort, a running-last Window — and no

@@ -518,6 +518,10 @@ def group_percentiles(
     (group_col, p, pct_value) long-form, pct_value rounded to 6 dp —
     bit-comparable with DuckDB ``quantile_cont`` because both engines
     run the same double arithmetic on the same two ranked values.
+
+    For WHOLE-CORPUS percentiles do not call this with a constant
+    group (one window task would sort everything) — use
+    :func:`global_percentiles`, the range-partitioned formulation.
     """
     if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"ps must be non-empty fractions in [0, 1], got {ps}")
@@ -549,6 +553,97 @@ def group_percentiles(
         F.round(
             F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo")), 6
         ).alias("pct_value"),
+    )
+
+
+def global_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float] | tuple[float, ...] = (0.5, 0.9, 0.99),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT whole-corpus percentiles (percentile_cont rule) without a
+    global sort task — the degenerate case :func:`group_percentiles`
+    cannot serve at scale (a single group funnels the entire corpus
+    through one window task's sort).
+
+    Shape (pack_sequences' range-partition + driver-offset move):
+
+    1. ``repartitionByRange`` on the value (8-byte rows — the only
+       thing shuffled is the value column) + localCheckpoint to pin
+       one range assignment (boundaries come from a sampling pass;
+       re-evaluation could legally re-draw them).
+    2. one tiny driver job collects per-partition COUNTS
+       (``num_partitions`` longs); their prefix sums are exclusive
+       rank offsets, and n is their total — so the boundary ranks
+       ⌊(n−1)p⌋/⌈(n−1)p⌉ are computed driver-side in the same IEEE
+       double arithmetic both engines use.
+    3. per-partition ``row_number`` (each task sorts only its own
+       range) + the broadcast offset gives every row its GLOBAL rank;
+       a rank-isin filter keeps the ≤2·|ps| boundary rows, and a
+       broadcast join against the driver's (p, lo, hi, frac) map
+       interpolates.
+
+    Ties across partition boundaries are safe: equal values may split
+    between adjacent range partitions in arbitrary rank order, but
+    any rank assignment among equal values yields the same percentile
+    VALUE.  NULLs excluded (quantile_cont convention).  Output:
+    (p, pct_value) rounded to 6 dp, matching DuckDB ``quantile_cont``.
+    """
+    import math
+
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"ps must be non-empty fractions in [0, 1], got {ps}")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    v = F.col(value_col).cast("double")
+    ranged = (
+        df.filter(v.isNotNull())
+        .select(v.alias("_v"))
+        .repartitionByRange(num_partitions, F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(counts.values())
+    out_schema = "p double, pct_value double"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    pmap = []
+    for p in sorted(set(float(p) for p in ps)):
+        h = (n - 1) * p  # IEEE double, the exact arithmetic both engines run
+        lo, hi = math.floor(h), math.ceil(h)
+        pmap.append((p, lo, hi, h - lo))
+    boundary_ranks = sorted({r for _, lo, hi, _ in pmap for r in (lo, hi)})
+
+    off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_v")
+    hits = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("_grank", F.row_number().over(w) - 1 + F.col("_off"))
+        .filter(F.col("_grank").isin(boundary_ranks))
+        .select("_grank", "_v")
+    )
+    pmap_df = spark.createDataFrame(pmap, schema="p double, _lo long, _hi long, _frac double")
+    lo_v = hits.select(F.col("_grank").alias("_lo"), F.col("_v").alias("_vlo"))
+    hi_v = hits.select(F.col("_grank").alias("_hi"), F.col("_v").alias("_vhi"))
+    return (
+        pmap_df.join(F.broadcast(lo_v), "_lo")
+        .join(F.broadcast(hi_v), "_hi")
+        .select(
+            "p",
+            F.round(
+                F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo")), 6
+            ).alias("pct_value"),
+        )
     )
 
 
