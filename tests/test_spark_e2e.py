@@ -344,10 +344,12 @@ def test_open_transcripts_formats_roundtrip(spark, transcripts, tmp_path):
         (r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts.collect()
     )
     pq = str(tmp_path / "fmt_pq")
+    oc = str(tmp_path / "fmt_oc")
     js = str(tmp_path / "fmt_js")
     transcripts.write.parquet(pq)
+    transcripts.write.orc(oc)
     transcripts.write.json(js)
-    for fmt, path in (("parquet", pq), ("json", js)):
+    for fmt, path in (("parquet", pq), ("orc", oc), ("json", js)):
         got = sorted(
             (r["conv_id"], r["turn_idx"], r["text"])
             for r in open_transcripts(spark, path, fmt).collect()

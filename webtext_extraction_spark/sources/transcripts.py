@@ -137,6 +137,9 @@ def open_transcripts(
       sandbox cannot fetch — the branch is exercised by the jar-gated
       ``tests/test_iceberg.py`` (marked ``iceberg``), which runs for
       real when the jars are present and skips VISIBLY when not.
+    - ``orc``: Spark-native columnar alternative (no extra jars);
+      identical fidelity to parquet — types, NULL-vs-empty and control
+      characters all survive (pinned by the roundtrip test).
     - ``json`` / ``csv``: migration-path ingestion; schema is enforced
       on read (no runaway inference scans) and columns are cast to the
       canonical types.  CSV caveats (pinned by the roundtrip test):
@@ -149,6 +152,8 @@ def open_transcripts(
 
     if source_format == "parquet":
         df = spark.read.parquet(path_or_table)
+    elif source_format == "orc":
+        df = spark.read.orc(path_or_table)
     elif source_format == "iceberg":
         df = spark.read.format("iceberg").load(path_or_table)
     elif source_format == "json":
@@ -164,7 +169,7 @@ def open_transcripts(
     else:
         raise ValueError(
             f"unsupported transcripts format {source_format!r}; "
-            "expected parquet | iceberg | json | csv"
+            "expected parquet | orc | iceberg | json | csv"
         )
     return df.select(
         F.col("conv_id").cast("string"),
