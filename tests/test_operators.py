@@ -1050,6 +1050,47 @@ def test_sample_mix_deterministic_and_rate_accurate(spark):
         textstats.sample_mix(df, "doc_id", "source", rates={"src0": 1.5})
 
 
+def test_split_corpus_python_replay_and_contract(spark):
+    from webtext_extraction_spark.functions.text import portable_hash64_py
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in textstats.split_corpus(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+
+    def ticket(i):
+        return portable_hash64_py(f"split-v1|{i}") % 1_000_000
+
+    for i in range(500):
+        t = ticket(i)
+        exp = "train" if t < 800_000 else ("val" if t < 900_000 else "test")
+        assert got[i] == exp, i
+    counts = {s: sum(1 for v in got.values() if v == s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 500  # total function: every row lands somewhere
+
+    # single split, and the dict-order contract (reordering re-draws)
+    one = {r["split"] for r in textstats.split_corpus(df, "doc_id", {"all": 1.0}).collect()}
+    assert one == {"all"}
+    flipped = {
+        r["doc_id"]: r["split"]
+        for r in textstats.split_corpus(
+            df, "doc_id", {"test": 0.1, "val": 0.1, "train": 0.8}
+        ).collect()
+    }
+    assert flipped != got  # boundaries moved with the order
+
+    with pytest.raises(ValueError):
+        textstats.split_corpus(df, "doc_id", {"a": 0.5, "b": 0.4})  # sums to 0.9
+    with pytest.raises(ValueError):
+        textstats.split_corpus(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        textstats.split_corpus(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
 def test_sample_mix_threshold_rounds_and_drops_null_ids(spark):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 

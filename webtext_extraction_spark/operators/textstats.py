@@ -342,6 +342,47 @@ def sample_mix(
     return df.filter(ticket < threshold)
 
 
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test carving: append a ``split`` column
+    assigning each row to a named split by hash-ticket interval — the
+    eval-set carve-out every training pipeline needs, with
+    :func:`sample_mix`'s determinism story: no RNG, the SAME rows land
+    in the same split on every engine, run, and cluster size, so an
+    eval set never silently rotates between runs.  A row's ticket is
+    ``portable_hash64(salt‖id) % 1e6``; split k owns the half-open
+    interval [cum_k, cum_{k+1}) of integer thresholds (same
+    int(round()) literal rule as sample_mix — the single cross-engine
+    source of truth).  Fractions must sum to 1 (±1e-9); split order
+    follows the dict's insertion order, which is part of the contract
+    (reordering re-draws the boundaries).  Zero shuffle, pure column
+    expressions.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0, got {fractions}")
+    bounds, acc = [], 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bounds.append((name, int(round(acc * SAMPLE_SPACE))))
+    bounds[-1] = (bounds[-1][0], SAMPLE_SPACE)  # close rounding gap at the top
+    ticket = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    ) % SAMPLE_SPACE
+    expr = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(ticket < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def unigram_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus unigram counts keyed by HASHED token (portable_hash64 —
     8-byte keys ride the shuffle, the same width-bounding move the
