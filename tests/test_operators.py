@@ -1428,6 +1428,8 @@ def test_asof_join_hand_computed_edges(spark):
         asof_join(left, right, "k", "ts", "ts", ["rid"], direction="nearest")
     with pytest.raises(ValueError):
         asof_join(left, right, "k", "ts", "ts", ["k"])  # collides with left
+    with pytest.raises(ValueError):  # reserved internal name on the left
+        asof_join(left.withColumnRenamed("eid", "_k"), right, "k", "ts", "ts", ["rid"])
 
 
 def test_asof_join_matches_python_reference_randomized(spark):

@@ -203,6 +203,12 @@ def asof_join(
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"value_cols collide with left columns: {clash}")
+    reserved = {"_k", "_ord_us", "_side", "_tb", "_rv", "_m", "matched_ts_us"}
+    bad = sorted(reserved & set(left.columns)) + [
+        c for c in value_cols if c == "matched_ts_us"
+    ]
+    if bad:
+        raise ValueError(f"columns collide with asof_join internals: {bad}")
 
     r_tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     rhs = right.select(
