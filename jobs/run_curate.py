@@ -92,8 +92,13 @@ def main(argv=None):
 
     if args.min_logprob is not None:
         lm = textstats.unigram_logprob(docs, idc, txt).select(idc, "logprob_mean")
-        out = out.join(lm, idc).filter(
-            F.col("logprob_mean") >= args.min_logprob
+        # left join, matching the --max-dup-frac gate's convention
+        # (ADVICE r04): zero-token docs have no logprob row and PASS —
+        # a fluency floor has nothing to say about an empty doc; the
+        # repetition/quality gates own degenerate docs
+        out = out.join(lm, idc, "left").filter(
+            F.col("logprob_mean").isNull()
+            | (F.col("logprob_mean") >= args.min_logprob)
         )
 
     if args.bench:

@@ -1691,6 +1691,32 @@ def test_ivf_tune_n_probe_monotone_and_reaches_full_recall(spark):
     assert out["n_probe"] <= 4
     with pytest.raises(ValueError):
         similarity.ivf_tune_n_probe(emb, query_ids=[], k=3)
+    # ADVICE r04: max_n_probe < 1 must raise, not return None
+    with pytest.raises(ValueError, match="max_n_probe"):
+        similarity.ivf_tune_n_probe(emb, query_ids=[0], k=3, max_n_probe=0)
+    # max_n_probe beyond n_cells clamps to full probe, still a dict
+    out2 = similarity.ivf_tune_n_probe(
+        emb, query_ids=[0], k=3, target_recall=1.0, n_cells=4, max_n_probe=99
+    )
+    assert out2["n_probe"] <= 4
+
+
+def test_exact_duplicates_normalize_ws(spark):
+    """ADVICE r04: with normalize_ws=True, whitespace-only docs with
+    differing bytes (and docs differing only in whitespace runs) gain
+    a dedup owner; default stays byte-exact."""
+    df = spark.createDataFrame(
+        [(0, " "), (1, "  "), (2, "a  b"), (3, "a b"), (4, "unique")],
+        ["doc_id", "text"],
+    )
+    assert dedup.exact_duplicates(df, "doc_id", "text").count() == 0
+    got = {
+        (r["n_dups"], r["keeper_id"])
+        for r in dedup.exact_duplicates(
+            df, "doc_id", "text", normalize_ws=True
+        ).collect()
+    }
+    assert got == {(2, 0), (2, 2)}
 
 
 def test_sessionize_string_keys_transcript_shape(spark):
@@ -1793,10 +1819,64 @@ def test_remove_duplicate_spans_hand_and_python_oracle(spark):
         for i in range(40)
     ]
     expect = py_remove(docs, 4, 2)
-    got = {
-        r["doc_id"]: (r["cleaned_text"], r["n_words"], r["n_removed_words"])
-        for r in dedup.remove_duplicate_spans(
-            spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text", n=4
-        ).collect()
-    }
-    assert got == expect
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    for method in ("set", "join"):
+        got = {
+            r["doc_id"]: (r["cleaned_text"], r["n_words"], r["n_removed_words"])
+            for r in dedup.remove_duplicate_spans(
+                sdf, "doc_id", "text", n=4, method=method
+            ).collect()
+        }
+        assert got == expect, method
+
+
+def test_remove_duplicate_spans_set_join_parity_string_ids(spark):
+    """set ≡ join on STRING ids (the packed gh:p:id occurrence key's
+    unambiguous-tail property — ids containing ':' must not confuse
+    keeper election), including NULL text and a doc shorter than n."""
+    df = spark.createDataFrame(
+        [
+            ("u:1", "one two three four five tail0"),
+            ("u:2", "head1 one two three four five"),
+            ("u:3", None),
+            ("u:4", "short text"),
+            ("a", "one two three four five again here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {}
+    for method in ("set", "join"):
+        out[method] = sorted(
+            dedup.remove_duplicate_spans(
+                df, "doc_id", "text", n=5, method=method
+            ).collect()
+        )
+    assert out["set"] == out["join"]
+    # "a" < "u:1" lexicographically, so the keeper of the shared run
+    # lives in doc "a" and both u-docs lose it
+    rows = {r["doc_id"]: r["cleaned_text"] for r in out["set"]}
+    assert rows["a"] == "one two three four five again here"
+    assert rows["u:1"] == "tail0"
+    assert rows["u:2"] == "head1"
+    assert rows["u:3"] == ""
+    assert rows["u:4"] == "short text"
+
+
+def test_remove_duplicate_spans_set_path_plan(spark):
+    """The set apply path is ONE text scan / ZERO Exchange: after the
+    eager keeper election, the returned plan is a pure projection —
+    no Exchange, no Join, no generate/aggregate nodes."""
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta doc"), F.col("id") % 2).alias(
+            "text"
+        ),
+    )
+    plan = (
+        dedup.remove_duplicate_spans(df, "doc_id", "text", n=3, method="set")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -59,10 +59,23 @@ def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact-dup clusters: hash → groupBy → keep groups of ≥2."""
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalize_ws: bool = False
+) -> DataFrame:
+    """Exact-dup clusters: hash → groupBy → keep groups of ≥2.
+
+    ``normalize_ws=True`` collapses runs of whitespace to single
+    spaces and trims before hashing — this makes exact_duplicates the
+    owner of DEGENERATE whitespace-only docs too (ADVICE r04: with
+    byte-exact hashing, ``' '`` vs ``'  '`` group with neither this
+    operator nor minhash_lsh_pairs, which excludes zero-token docs).
+    Default stays byte-exact: the strictest, fully reproducible
+    definition, and the one the driver oracle pins."""
+    text = F.col(text_col)
+    if normalize_ws:
+        text = F.trim(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " "))
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.select(F.md5(text).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("n_dups"),
@@ -124,7 +137,11 @@ def minhash_lsh_pairs(
     whole job under ANSI division (r4 random-corpus soak finding) —
     and at corpus scale they all share one degenerate bucket (a
     quadratic skew bomb).  Empty-vs-empty duplication is exact
-    duplication; ``exact_duplicates`` owns it."""
+    duplication; ``exact_duplicates`` owns it.  Caveat (ADVICE r04):
+    whitespace-only docs with DIFFERING bytes (``' '`` vs ``'  '``)
+    are zero-token here but distinct under byte-exact md5 — run
+    ``exact_duplicates(..., normalize_ws=True)`` when degenerate docs
+    need a dedup owner."""
     rows_per_band = num_hashes // bands
 
     def perm(a: int, b: int):
@@ -372,6 +389,28 @@ def boilerplate_ngrams(
     )
 
 
+def _kept_from_flags(n: int):
+    """Shared rebuild tail of the one-scan "set" apply paths
+    (remove_boilerplate / remove_duplicate_spans): given a boolean
+    ``_flags`` array (flag per n-gram start position: strip this
+    window), keep the words of ``_ws`` no flagged window covers.
+    Pure higher-order expressions — no shuffle, no join."""
+    nflags = F.size("_flags")
+
+    def uncovered(w, i):
+        # word i is covered iff any flagged gram starts in
+        # [i-n+1, i] ∩ [0, n_grams-1]; that window is non-empty
+        # whenever n_grams >= 1 (lo <= n_grams-1 because
+        # i <= len(ws)-1 = n_grams+n-2)
+        lo = F.greatest(i - F.lit(n - 1), F.lit(0))
+        length = F.least(i, nflags - 1) - lo + 1
+        return ~F.exists(F.slice(F.col("_flags"), lo + 1, length), lambda f: f)
+
+    return F.when(nflags == 0, F.col("_ws")).otherwise(
+        F.filter(F.col("_ws"), uncovered)
+    )
+
+
 def _cleaned_select(marked: DataFrame, id_col: str, kept) -> DataFrame:
     """Shared output projection of remove_boilerplate's two methods."""
     return marked.select(
@@ -450,23 +489,7 @@ def remove_boilerplate(
         marked = base.withColumn(
             "_flags", F.transform(ngrams_of_words(F.col("_ws"), n), mark)
         )
-        nflags = F.size("_flags")
-
-        def uncovered(w, i):
-            # word i is covered iff any flagged gram starts in
-            # [i-n+1, i] ∩ [0, n_grams-1]; that window is non-empty
-            # whenever n_grams >= 1 (lo <= n_grams-1 because
-            # i <= len(ws)-1 = n_grams+n-2)
-            lo = F.greatest(i - F.lit(n - 1), F.lit(0))
-            length = F.least(i, nflags - 1) - lo + 1
-            return ~F.exists(
-                F.slice(F.col("_flags"), lo + 1, length), lambda f: f
-            )
-
-        kept = F.when(nflags == 0, F.col("_ws")).otherwise(
-            F.filter(F.col("_ws"), uncovered)
-        )
-        return _cleaned_select(marked, id_col, kept)
+        return _cleaned_select(marked, id_col, _kept_from_flags(n))
 
     # method == "join"
     # posexplode of the gram array: the emitted position IS the gram's
@@ -569,6 +592,7 @@ def remove_duplicate_spans(
     text_col: str,
     n: int = 20,
     min_occurrences: int = 2,
+    method: str = "set",
 ) -> DataFrame:
     """The REMOVAL action over :func:`duplicate_spans` — Lee et al.
     2022's dedup proper: of every duplicated n-gram window, ONE
@@ -583,12 +607,26 @@ def remove_duplicate_spans(
     first-occurrence-span preservation needs global interval
     resolution, which serializes).
 
-    Shape: keeper election is ONE skew-safe aggregation
+    Keeper election is the same either way: ONE skew-safe aggregation
     (``groupBy(gh).agg(count, min(struct(id, p)))`` — map-side combine
-    collapses hot grams before the shuffle, no per-gram window), then
-    a join back on the 8-byte gram hash, covered-position fan-out, and
-    the same rebuild tail as remove_boilerplate.  Payloads never
-    shuffle.
+    collapses hot grams before the shuffle, no per-gram window).  Two
+    apply methods, identical output (remove_boilerplate's split):
+
+    - ``"set"`` (default): collect the elected (gh → keeper) table to
+      the driver (eager — bounded by construction at sane
+      ``min_occurrences``, the same driver-scalar class as
+      remove_boilerplate's gram set) and apply in ONE projection: per
+      doc, a gram window strips iff its hash is in the duplicated set
+      (Catalyst InSet) AND its packed ``gh:p:id`` occurrence key is
+      not the elected keeper (second InSet; the packing is
+      collision-free — gh and p are colon-free numerics, id is the
+      unambiguous tail).  ONE text scan / ZERO shuffle on the apply
+      side; total = 2 text scans + 1 shuffle including election.
+    - ``"join"``: fully lazy for gram tables too large to embed in a
+      task binary (≈ >10⁶ duplicated grams): join occurrences back on
+      the 8-byte gram hash, covered-position fan-out, groupBy(doc),
+      join to the tokenized base.  Three text scans; payloads still
+      never shuffle.
 
     Output: (id, cleaned_text, n_words, n_removed_words,
     removed_frac) — one row per input doc, remove_boilerplate's shape.
@@ -597,6 +635,8 @@ def remove_duplicate_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    if method not in ("set", "join"):
+        raise ValueError(f"method must be 'set' or 'join', got {method!r}")
     base = df.select(
         F.col(id_col).alias("_id"),
         words(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
@@ -618,6 +658,37 @@ def remove_duplicate_spans(
         .filter(F.col("_occ") >= min_occurrences)
         .select("gh", "_keep")
     )
+
+    if method == "set":
+        elected = dup.collect()
+        dup_list = [r["gh"] for r in elected]
+        keeper_list = [
+            f"{r['gh']}:{r['_keep']['q']}:{r['_keep']['i']}" for r in elected
+        ]
+        if dup_list:
+
+            def mark(g, p):
+                # packed occurrence key must stringify exactly like the
+                # driver side: BIGINT/INT → string casts have no
+                # decimal point, so str(python int) matches
+                return g.isin(dup_list) & ~F.concat_ws(
+                    ":", g, p, F.col("_id")
+                ).isin(keeper_list)
+
+        else:
+
+            def mark(g, p):
+                return F.lit(False)
+
+        marked = base.withColumn(
+            "_flags",
+            F.transform(
+                F.transform(ngrams_of_words(F.col("_ws"), n), portable_hash64), mark
+            ),
+        )
+        return _cleaned_select(marked, id_col, _kept_from_flags(n))
+
+    # method == "join"
     covered = (
         grams.join(dup, "gh")
         .filter(

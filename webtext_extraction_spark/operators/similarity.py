@@ -493,13 +493,18 @@ def ivf_tune_n_probe(
         raise ValueError("query_ids must be non-empty")
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if max_n_probe is not None and max_n_probe < 1:
+        # ADVICE r04: an empty loop range would return None instead of
+        # the documented dict
+        raise ValueError(f"max_n_probe must be >= 1, got {max_n_probe}")
     exact = cosine_topk(embeddings, id_col=id_col, vec_col=vec_col,
                         query_ids=query_ids, k=k)
     exact.persist()
     try:
         curve = []
         best = None
-        top = max_n_probe if max_n_probe is not None else n_cells
+        # clamp: probing more cells than exist is the full-probe case
+        top = min(max_n_probe, n_cells) if max_n_probe is not None else n_cells
         for n_probe in range(1, top + 1):
             approx = ivf_ann_topk(
                 embeddings, id_col=id_col, vec_col=vec_col, query_ids=query_ids,

@@ -179,7 +179,12 @@ def render_extracted(
     failure/error rows are filtered Spark-side before the limit, so an
     input with many failure rows still renders ``limit`` records, and
     failure rows are never collected to the driver.  The Q8
-    excluded-url set rides its own bounded distinct query.
+    excluded-url check is restricted to the rendered rows' own URLs
+    (ADVICE r04: an unordered ``distinct().limit()`` made the kept
+    subset nondeterministic past ``limit`` distinct failure URLs) —
+    only URLs that can appear in the header need checking, so the
+    query is deterministic AND driver-bounded by the already-limited
+    row set.
     """
     excluded_statuses = ("failure_template", "error_pattern")
     rows = (
@@ -197,15 +202,23 @@ def render_extracted(
                 f"source_name must be 'google' or 'yahoo', got {source_name!r}"
             )
         banner = source_name + "=" * (62 - len(source_name)) + "\n\n"
-        excluded_urls = {
-            r["url"]
-            for r in extracted.filter(F.col("status").isin(*excluded_statuses))
-            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
-            .select("url")
-            .distinct()
-            .limit(limit)
-            .collect()
-        }
+        # only the rendered rows' URLs can appear in the header, so
+        # the excluded-status probe is a semi-join against that
+        # driver-bounded set — deterministic regardless of how many
+        # distinct failure URLs exist corpus-wide (ADVICE r04)
+        candidate_urls = list({r["url"] for r in rows if r["url"]})
+        excluded_urls = (
+            {
+                r["url"]
+                for r in extracted.filter(F.col("status").isin(*excluded_statuses))
+                .filter(F.col("url").isin(candidate_urls))
+                .select("url")
+                .distinct()
+                .collect()
+            }
+            if candidate_urls
+            else set()
+        )
         url_list = []
         for r in rows:
             if r["url"] and r["url"] not in excluded_urls and r["url"] not in url_list:

@@ -312,17 +312,28 @@ def _write_layout_marker(spark, output_dir: str) -> None:
     """Drop a ``_LAYOUT`` README marker in the sink root so external
     consumers of an existing flat-layout dir get a visible signal of
     the per-batch layout (ADVICE r03).  Hadoop FS API: works on any
-    supported filesystem, not just local paths."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(output_dir)
-    fs = root.getFileSystem(conf)
-    fs.mkdirs(root)
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(output_dir + "/_LAYOUT"), True)
+    supported filesystem, not just local paths.
+
+    Advisory, not load-bearing (ADVICE r04): the Hadoop FS handle
+    rides the classic-mode py4j gateway (``spark._jvm``), which Spark
+    Connect sessions don't expose — there (or on any FS error) the
+    marker is skipped and stream startup proceeds."""
+    if getattr(spark, "_jvm", None) is None or getattr(spark, "_jsc", None) is None:
+        return
     try:
-        out.write(bytearray(_LAYOUT_NOTE, "utf-8"))
-    finally:
-        out.close()
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(output_dir)
+        fs = root.getFileSystem(conf)
+        fs.mkdirs(root)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(output_dir + "/_LAYOUT"), True)
+        try:
+            out.write(bytearray(_LAYOUT_NOTE, "utf-8"))
+        finally:
+            out.close()
+    except Exception:
+        # marker write must never fail a stream start
+        return
 
 
 def _start_idempotent_append(
