@@ -389,6 +389,25 @@ def boilerplate_ngrams(
     )
 
 
+def _materialize(df: DataFrame, cols: dict) -> DataFrame:
+    """Materialize computed columns behind a Generate barrier (explode
+    of a single-element struct array).  Catalyst's CollapseProject
+    inlines plain projection aliases into downstream
+    higher-order-function lambda bodies, and HOFs are CodegenFallback
+    with no common-subexpression elimination — an inlined column
+    re-evaluates PER ARRAY ELEMENT there (measured: the duplicate-span
+    set apply's per-element re-eval of two array_intersects against
+    15k-entry literals cost 124 s on a 3000-doc slice; behind the
+    barrier the same job is sub-second).  A Generate node is not
+    collapsible, so everything upstream evaluates exactly once per
+    row; the one-element explode itself is noise."""
+    gen = F.explode(F.array(F.struct(*[c.alias(nm) for nm, c in cols.items()])))
+    out = df.withColumn("_m", gen)
+    for nm in cols:
+        out = out.withColumn(nm, F.col("_m")[nm])
+    return out.drop("_m")
+
+
 def _kept_from_flags(n: int):
     """Shared rebuild tail of the one-scan "set" apply paths
     (remove_boilerplate / remove_duplicate_spans): given a boolean
@@ -486,8 +505,11 @@ def remove_boilerplate(
         mark = (
             (lambda g: g.isin(gram_list)) if gram_list else (lambda g: F.lit(False))
         )
-        marked = base.withColumn(
-            "_flags", F.transform(ngrams_of_words(F.col("_ws"), n), mark)
+        # Generate barrier: _flags must be a materialized attribute, not
+        # an inlined alias, or the rebuild lambda re-marks every gram
+        # per word element (see _materialize)
+        marked = _materialize(
+            base, {"_flags": F.transform(ngrams_of_words(F.col("_ws"), n), mark)}
         )
         return _cleaned_select(marked, id_col, _kept_from_flags(n))
 
@@ -592,7 +614,8 @@ def remove_duplicate_spans(
     text_col: str,
     n: int = 20,
     min_occurrences: int = 2,
-    method: str = "set",
+    method: str = "auto",
+    max_set_size: int = 1000,
 ) -> DataFrame:
     """The REMOVAL action over :func:`duplicate_spans` — Lee et al.
     2022's dedup proper: of every duplicated n-gram window, ONE
@@ -612,21 +635,34 @@ def remove_duplicate_spans(
     collapses hot grams before the shuffle, no per-gram window).  Two
     apply methods, identical output (remove_boilerplate's split):
 
-    - ``"set"`` (default): collect the elected (gh → keeper) table to
-      the driver (eager — bounded by construction at sane
-      ``min_occurrences``, the same driver-scalar class as
-      remove_boilerplate's gram set) and apply in ONE projection: per
-      doc, a gram window strips iff its hash is in the duplicated set
-      (Catalyst InSet) AND its packed ``gh:p:id`` occurrence key is
-      not the elected keeper (second InSet; the packing is
-      collision-free — gh and p are colon-free numerics, id is the
-      unambiguous tail).  ONE text scan / ZERO shuffle on the apply
-      side; total = 2 text scans + 1 shuffle including election.
+    - ``"set"``: collect the elected (gh → keeper) table to the driver
+      (eager — one small job at call time) and apply in ONE
+      projection: per doc, ``array_intersect`` against the literal
+      elected-gram array yields the doc's own dup grams and (via
+      packed ``gh:p:id`` occurrence keys — collision-free: gh and p
+      are colon-free numerics, id is the unambiguous tail) its own
+      keeper occurrences; the per-window flag then probes those two
+      SMALL per-doc arrays.  The big set is hashed once per row by
+      array_intersect, never linearly scanned per gram — plain
+      ``isin`` inside a higher-order-function lambda stays a linear
+      ``In`` (OptimizeIn does not rewrite under lambdas; measured 20×
+      slower at a 15k-gram set).  ONE text scan / ZERO shuffle on the
+      apply side; total = 2 text scans + 1 shuffle incl. election.
     - ``"join"``: fully lazy for gram tables too large to embed in a
-      task binary (≈ >10⁶ duplicated grams): join occurrences back on
-      the 8-byte gram hash, covered-position fan-out, groupBy(doc),
-      join to the tokenized base.  Three text scans; payloads still
-      never shuffle.
+      task binary: join occurrences back on the 8-byte gram hash,
+      covered-position fan-out, groupBy(doc), join to the tokenized
+      base.  Three text scans; payloads still never shuffle.
+    - ``"auto"`` (default): collect at most ``max_set_size + 1``
+      elected rows; at or under the cap → ``"set"``, over → ``"join"``.
+      Unlike boilerplate doc-frequency grams, corpus-wide
+      occurrence-count grams grow LINEARLY with corpus size, so the
+      set regime genuinely runs out — the probe costs one
+      limit-bounded collect.  The cap default comes from measurement,
+      not hope: the set apply rebuilds the literal-array hash per ROW
+      (array_intersect has no cross-row cache), so its cost is
+      O(rows × set) — at a 15,485-gram set over 3,000 sf0.1 docs it
+      measured ~30 s vs ~2 s for join; at ≲1k grams the per-row
+      rebuild is noise and the zero-shuffle shape wins.
 
     Output: (id, cleaned_text, n_words, n_removed_words,
     removed_frac) — one row per input doc, remove_boilerplate's shape.
@@ -635,8 +671,8 @@ def remove_duplicate_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
-    if method not in ("set", "join"):
-        raise ValueError(f"method must be 'set' or 'join', got {method!r}")
+    if method not in ("auto", "set", "join"):
+        raise ValueError(f"method must be 'auto', 'set' or 'join', got {method!r}")
     base = df.select(
         F.col(id_col).alias("_id"),
         words(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
@@ -659,33 +695,58 @@ def remove_duplicate_spans(
         .select("gh", "_keep")
     )
 
-    if method == "set":
+    if method == "auto":
+        elected = dup.limit(max_set_size + 1).collect()
+        method = "join" if len(elected) > max_set_size else "set"
+    elif method == "set":
         elected = dup.collect()
+
+    if method == "set":
         dup_list = [r["gh"] for r in elected]
+        # packed occurrence key must stringify exactly like the Spark
+        # side: BIGINT/INT → string casts have no decimal point, so
+        # str(python int) matches
         keeper_list = [
             f"{r['gh']}:{r['_keep']['q']}:{r['_keep']['i']}" for r in elected
         ]
-        if dup_list:
-
-            def mark(g, p):
-                # packed occurrence key must stringify exactly like the
-                # driver side: BIGINT/INT → string casts have no
-                # decimal point, so str(python int) matches
-                return g.isin(dup_list) & ~F.concat_ws(
-                    ":", g, p, F.col("_id")
-                ).isin(keeper_list)
-
-        else:
-
-            def mark(g, p):
-                return F.lit(False)
-
-        marked = base.withColumn(
-            "_flags",
-            F.transform(
-                F.transform(ngrams_of_words(F.col("_ws"), n), portable_hash64), mark
-            ),
+        # barrier 1: tokenize + hash once per row
+        marked = _materialize(
+            base,
+            {"_ghs": F.transform(ngrams_of_words(F.col("_ws"), n), portable_hash64)},
         )
+        if dup_list:
+            packed = F.transform(
+                "_ghs", lambda g, p: F.concat_ws(":", g, p, F.col("_id"))
+            )
+            # barrier 2: hash-probe the big literal arrays ONCE per
+            # row — the per-window flag probes only the doc's own
+            # (small) hit arrays
+            marked = _materialize(
+                marked,
+                {
+                    "_packed": packed,
+                    "_dup_hits": F.array_intersect("_ghs", F.lit(dup_list)),
+                    "_keep_hits": F.array_intersect(packed, F.lit(keeper_list)),
+                },
+            )
+            # barrier 3: the rebuild lambda must see _flags as an
+            # attribute, not re-derive it per word element
+            marked = _materialize(
+                marked,
+                {
+                    "_flags": F.transform(
+                        "_ghs",
+                        lambda g, p: F.array_contains("_dup_hits", g)
+                        & ~F.array_contains(
+                            "_keep_hits", F.element_at("_packed", p + 1)
+                        ),
+                    )
+                },
+            )
+        else:
+            marked = _materialize(
+                marked, {"_flags": F.transform("_ghs", lambda g: F.lit(False))}
+            )
         return _cleaned_select(marked, id_col, _kept_from_flags(n))
 
     # method == "join"
