@@ -7,10 +7,13 @@ import numpy as np
 import pytest
 
 from webtext_extraction_spark.operators.codecs import (
+    _png_chunk,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_pnm,
     encode_bmp,
+    encode_png,
     encode_ppm,
     image_feature,
     image_resizer,
@@ -168,17 +171,107 @@ def test_real_resizer_through_spark_seam(spark):
         assert (r["meta_width"], r["meta_height"]) == (5, 4)
 
 
+def test_png_roundtrip_every_filter_and_color_type():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) x every
+    supported color type roundtrips bit-exactly — the encoder's
+    per-filter forward pass is the reference for the decoder's
+    unfilter paths."""
+    for ft in range(5):
+        for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4), (1, 1), (3, 1, 3)]:
+            arr = np.random.RandomState(ft * 31 + len(shape)).randint(
+                0, 256, size=shape, dtype=np.uint8
+            )
+            payload = encode_png(arr, filter_type=ft)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            assert np.array_equal(decode_png(payload), arr)
+
+
+def test_png_alpha_policy_and_gray_lift():
+    rgba = np.random.RandomState(5).randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    lifted = decode_image(encode_png(rgba))
+    assert lifted.shape == (4, 6, 3)
+    assert np.array_equal(lifted, rgba[:, :, :3])  # alpha dropped, never composited
+    ga = np.random.RandomState(6).randint(0, 256, size=(3, 5, 2), dtype=np.uint8)
+    lifted = decode_image(encode_png(ga))
+    assert lifted.shape == (3, 5, 3)
+    assert np.array_equal(lifted[:, :, 0], ga[:, :, 0])
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    import struct as _struct
+
+    arr = np.random.RandomState(9).randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    payload = encode_png(arr)
+    # split the single IDAT into two chunks at an arbitrary byte
+    sig, rest = payload[:8], payload[8:]
+    (ihdr_len,) = _struct.unpack_from(">I", rest, 0)
+    ihdr_end = 12 + ihdr_len
+    (idat_len,) = _struct.unpack_from(">I", rest, ihdr_end)
+    idat = rest[ihdr_end + 8 : ihdr_end + 8 + idat_len]
+    tail = rest[ihdr_end + 12 + idat_len :]
+    a, b = idat[:3], idat[3:]
+    rebuilt = (
+        sig
+        + rest[:ihdr_end]
+        + _png_chunk(b"IDAT", a)
+        + _png_chunk(b"IDAT", b)
+        + tail
+    )
+    assert np.array_equal(decode_png(rebuilt), arr)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    arr = np.random.RandomState(2).randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(arr))
+    payload[40] ^= 0xFF  # flip a data byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    good = encode_png(arr)
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated
+    # 16-bit depth in IHDR
+    import struct as _struct
+
+    ihdr = _struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bad)
+    # interlaced
+    ihdr = _struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1)
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bad)
+    # palette color type
+    ihdr = _struct.pack(">IIBBBBB", 3, 3, 8, 3, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bad)
+
+
+def test_png_through_resizer_seam_preserves_container():
+    arr = np.random.RandomState(4).randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    out = image_resizer(encode_png(arr), 4, 3)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    got = decode_png(out)
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got, resize_nearest(arr, 4, 3))
+    # feature seam accepts PNG payloads
+    feats = image_feature(encode_png(arr), "image")
+    assert feats == image_feature(encode_ppm(arr), "image")
+
+
 from hypothesis import given, settings, strategies as st
 
 
 @settings(max_examples=60, deadline=None)
 @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**31 - 1))
 def test_codec_roundtrips_fuzz(h, w, seed):
-    """Both containers roundtrip bit-exactly for arbitrary dims
+    """All three containers roundtrip bit-exactly for arbitrary dims
     (every BMP padding residue included) and arbitrary content."""
     arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_pnm(encode_ppm(arr)), arr)
     assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+    assert np.array_equal(decode_png(encode_png(arr, filter_type=seed % 5)), arr)
     tw, th = (w % 7) + 1, (h % 5) + 1
     out = decode_image(image_resizer(encode_bmp(arr), tw, th))
     assert out.shape == (th, tw, 3)

@@ -1,9 +1,10 @@
 """Dependency-free REAL image codecs for the multimodal seam.
 
-The container has no PIL/ffmpeg, but uncompressed raster formats need
-no library: binary PPM (P6) / PGM (P5) and 24-bit uncompressed BMP
-are fully specified by a header + raw pixel rows, decodable with
-``struct`` + numpy (both in the base environment).  These plug into
+The container has no PIL/ffmpeg, but these formats need no external
+library: binary PPM (P6) / PGM (P5) and 24-bit uncompressed BMP are a
+header + raw pixel rows (``struct`` + numpy), and PNG (r5) needs only
+stdlib zlib for its IDAT stream plus the five scanline filters — the
+first COMPRESSED format through the seam.  These plug into
 ``extract_media_features(decoder=image_feature)`` and
 ``resize_media(resizer=image_resizer)`` — the previously
 environment-gated ``decode_stub=False`` path is REAL for these
@@ -27,6 +28,7 @@ Format notes (the parts that bite):
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -144,16 +146,195 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+#
+# The first COMPRESSED format through the seam — PNG needs only zlib
+# (stdlib) for the IDAT stream plus the five per-scanline filters
+# (None/Sub/Up/Average/Paeth), all fully specified by RFC 2083.
+# Decoder exactness over decoder speed: Sub/Average/Paeth unfiltering
+# has a hard sequential byte dependency, so those rows run a Python
+# loop — correct for any input, fast enough for tests and metadata
+# probes; a production hot path would route bulk PNG decode to a
+# vendored library through this same ``decode_image`` dispatch.
+# Interlaced (Adam7), 16-bit, and palette PNGs raise — unsupported
+# media routes to a quarantine status, never a guess.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_scalar(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → uint8 array: gray (h, w),
+    gray+alpha (h, w, 2), RGB (h, w, 3), RGBA (h, w, 4).  Chunk CRCs
+    are verified; multiple IDAT chunks concatenate per spec."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (signature)")
+    off = 8
+    ihdr = None
+    idat = b""
+    saw_end = False
+    while off + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        if len(data) != length or off + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        off += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/bad IHDR")
+    if not saw_end:
+        raise ValueError("PNG missing IEND")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, depth={depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = _PNG_CHANNELS.get(ct)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ct}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            recon = row
+        elif f == 2:  # Up — vectorizable, no intra-row dependency
+            recon = (row + prev) & 255
+        elif f == 1:  # Sub
+            recon = row.copy()
+            for x in range(bpp, stride):
+                recon[x] = (recon[x] + recon[x - bpp]) & 255
+        elif f == 3:  # Average
+            recon = row.copy()
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + ((left + int(prev[x])) >> 1)) & 255
+        elif f == 4:  # Paeth
+            recon = row.copy()
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                recon[x] = (recon[x] + _paeth_scalar(a, int(prev[x]), c)) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape((h, w, channels)) if channels > 1 else out.reshape((h, w))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array → PNG: (h, w) → gray, (h, w, 2) → gray+alpha,
+    (h, w, 3) → RGB, (h, w, 4) → RGBA.  ``filter_type`` applies one
+    filter to every scanline (forward filtering vectorizes — the
+    reconstruction values are the input itself), mainly so tests can
+    exercise every unfilter path of :func:`decode_png`."""
+    if arr.ndim == 2:
+        ct, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        channels = arr.shape[2]
+        ct = {2: 4, 3: 2, 4: 6}[channels]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    h, w = arr.shape[:2]
+    stride = w * channels
+    flat = np.ascontiguousarray(arr, dtype=np.uint8).reshape((h, stride))
+    rows = flat.astype(np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = rows[y]
+        up = rows[y - 1] if y > 0 else zero
+        left = np.concatenate([np.zeros(channels, dtype=np.int32), cur[:-channels]])
+        ul = np.concatenate([np.zeros(channels, dtype=np.int32), up[:-channels]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - up
+        elif filter_type == 3:
+            filt = cur - ((left + up) >> 1)
+        else:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            filt = cur - pred
+        lines.append(bytes([filter_type]) + (filt & 255).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # seam adapters
 # ---------------------------------------------------------------------------
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-sniffing decode; grayscale is lifted to (h, w, 3)."""
+    """Magic-sniffing decode to (h, w, 3): grayscale is lifted by
+    channel replication; PNG alpha is DROPPED (straight alpha policy
+    — metadata features never composite against a guessed
+    background)."""
     if payload[:2] in (b"P6", b"P5"):
         arr = decode_pnm(payload)
     elif payload[:2] == b"BM":
         arr = decode_bmp(payload)
+    elif payload[:8] == _PNG_SIG:
+        arr = decode_png(payload)
+        if arr.ndim == 3 and arr.shape[2] == 2:  # gray+alpha -> gray
+            arr = arr[:, :, 0]
+        elif arr.ndim == 3 and arr.shape[2] == 4:  # RGBA -> RGB
+            arr = arr[:, :, :3]
     else:
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
     if arr.ndim == 2:
@@ -196,12 +377,15 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 def image_resizer(payload: bytes, tw: int, th: int) -> bytes:
     """REAL resizer for the ``resize_media`` seam: decode, nearest-
-    neighbor resample, re-encode in the SOURCE container format."""
+    neighbor resample, re-encode in the SOURCE container format
+    (PNG stays PNG with its channel count preserved)."""
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         arr = decode_pnm(payload)
     elif magic == b"BM":
         arr = decode_bmp(payload)
+    elif payload[:8] == _PNG_SIG:
+        return encode_png(resize_nearest(decode_png(payload), tw, th))
     else:
         raise ValueError(f"unrecognized image magic {magic!r}")
     out = resize_nearest(arr, tw, th)

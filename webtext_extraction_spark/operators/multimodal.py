@@ -6,13 +6,13 @@ plumbing — schema, Arrow batching via mapInPandas, partition-friendly
 batch shapes — is real and tested.  Decode resolution:
 ``decode_stub=True`` produces deterministic fake features (seeded by
 content hash — the SQL-replayable oracle path); a ``decoder``/
-``resizer`` callable runs REAL decode through the seam — and for
-uncompressed formats (binary PPM/PGM, 24-bit BMP) a real
-dependency-free codec ships in ``operators/codecs.py``
-(``image_feature`` / ``image_resizer``, numpy-only, no PIL/ffmpeg
-needed); ``decode_stub=False`` with no callable raises
-NotImplementedError (compressed formats genuinely need PIL/ffmpeg,
-absent in this container).
+``resizer`` callable runs REAL decode through the seam — and real
+dependency-free codecs ship in ``operators/codecs.py``
+(``image_feature`` / ``image_resizer``): binary PPM/PGM, 24-bit BMP,
+and (r5) 8-bit non-interlaced PNG — the first COMPRESSED format,
+stdlib-zlib only.  ``decode_stub=False`` with no callable raises
+NotImplementedError (the remaining gated formats — JPEG, video —
+genuinely need PIL/ffmpeg, absent in this container).
 
 At 100 TB this is the standard shape: binary stays columnar
 end-to-end (parquet → Arrow → pandas bytes) with no base64 detours,
