@@ -1830,6 +1830,23 @@ def test_remove_duplicate_spans_hand_and_python_oracle(spark):
         assert got == expect, method
 
 
+def test_ngram_jaccard_bucketized_equi_join(spark):
+    """The r5 bucketized range join: pairs straddling a bucket
+    boundary (id 9→10 with window 10 buckets them 0 vs 1) must still
+    pair via the adjacent-bucket emission; beyond-window pairs are
+    excluded; and the plan contains NO BroadcastNestedLoopJoin or
+    CartesianProduct — the range predicate rides an equi-join key."""
+    rows = [(i, "abcdefgh") for i in (0, 9, 10, 19, 21, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5, window=10)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # identical texts -> jaccard 1.0; exactly the pairs within 10
+    assert got == {(0, 9), (0, 10), (9, 10), (9, 19), (10, 19), (19, 21)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_remove_duplicate_spans_set_join_parity_string_ids(spark):
     """set ≡ join on STRING ids (the packed gh:p:id occurrence key's
     unambiguous-tail property — ids containing ':' must not confuse

@@ -333,9 +333,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     window: int = 10,
 ) -> DataFrame:
-    """Exact character-shingle Jaccard for id pairs within ``window`` of
-    each other (bounded comparison set — the verification half of a
-    dedup pass; candidate generation at scale is minhash_lsh_pairs)."""
+    """Exact character-shingle Jaccard for NUMERIC id pairs within
+    ``window`` of each other (bounded comparison set — the
+    verification half of a dedup pass; candidate generation at scale
+    is minhash_lsh_pairs).
+
+    Join shape (r5 — closes the r3/r4 watch-list flag): the range
+    predicate ``a < b <= a + window`` is bucketized into an EQUI-join
+    — ids bucket by ``floor(id / window)``, and any in-window pair
+    lives in the same or the adjacent bucket, so the b side emits its
+    bucket and its predecessor and the join key is the bucket
+    (Catalyst plans a shuffle hash/sort-merge join, never a
+    BroadcastNestedLoopJoin; the exact range predicate re-applies
+    post-join).  Each b row duplicates exactly 2× — the standard
+    banded range-join move.  The shuffle carries the shingle arrays;
+    at 100 TB hash them first (portable_hash64, the minhash move) to
+    bound key width — kept as strings here so output is
+    human-auditable and the oracle replays verbatim."""
     # dynamic-start substring needs the expr form of transform.
     # NULL text is the empty document: without the coalesce, Spark's
     # greatest() IGNORES the NULL length (shingles = [NULL], and
@@ -349,12 +363,18 @@ def ngram_jaccard_pairs(
         f" i -> substr({tc}, i + 1, {n})))"
     )
     base = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
-    a, b = base.alias("a"), base.alias("b")
+    bucket = F.floor(F.col("_id") / F.lit(window))
+    a = base.withColumn("_bk", bucket).alias("a")
+    b = base.withColumn(
+        "_bk", F.explode(F.array(bucket, bucket - 1))
+    ).alias("b")
     jac = F.size(F.array_intersect("a._sh", "b._sh")) / F.size(F.array_union("a._sh", "b._sh"))
     return (
         a.join(
             b,
-            (F.col("b._id") > F.col("a._id")) & (F.col("b._id") <= F.col("a._id") + window),
+            (F.col("a._bk") == F.col("b._bk"))
+            & (F.col("b._id") > F.col("a._id"))
+            & (F.col("b._id") <= F.col("a._id") + window),
         )
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
