@@ -49,6 +49,23 @@ def build_transcripts(spark, sf: float, override: int | None = None):
     return synth_transcripts(spark, num_conversations=n_conv, profile="bench")
 
 
+# Clean-band HIGHS per leg at the driver config (sf0.1, 32 cores) from
+# the BENCH/BASELINE.md run record (r3/r4 clean samples).  A best-of-2
+# leg landing above 2× its band high is re-run once more and the whole
+# sample list is reported in bench_note — the one-shot driver record
+# then carries its own drift evidence instead of needing a fresh
+# session to disprove a trough (VERDICT r04 #8).
+BAND_HI = {
+    "hot_key_detect": 2.0,
+    "extract_pipeline": 8.0,
+    "dedup_minhash_lsh_first300": 2.0,
+    "dedup_simhash": 1.5,
+    "text_profile": 1.5,
+    "sim_cosine_topk": 1.5,
+    "sim_lsh_ann_topk": 2.0,
+}
+
+
 def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
              ops: bool = True) -> dict:
     from webtext_extraction_spark.operators import dedup, similarity, textstats
@@ -57,6 +74,8 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
 
     spark = get_spark(app_name=f"bench-{cores}", cores=cores)
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    leg_fns: dict = {}
 
     from webtext_extraction_spark.operators.extraction import extract_turns
     from webtext_extraction_spark.operators.partitioning import (
@@ -74,18 +93,31 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     warmup = extract_turns(transcripts.limit(512))
     warmup.agg(F.sum(F.length("extracted_text"))).collect()
 
+    def best_of(name, fn, attempts=2):
+        # every leg best-of-N with the sample list kept: single samples
+        # on this host catch multi-second hypervisor-steal spikes
+        # (observed a 3.6 s leg report 14 s with identical code)
+        vals = []
+        for _ in range(attempts):
+            t0 = time.time()
+            fn()
+            vals.append(time.time() - t0)
+        samples[name] = vals
+        leg_fns[name] = fn
+        return min(vals)
+
     # phase 1: the flagship's auto skew probe (sampled JVM-only scan of
     # two tiny columns — plans/pipeline.extraction_pipeline "auto").
     # best-of-2 like the extraction leg: the first cache read after
     # materialization occasionally eats a GC pause (observed 2.5-7.5 s
     # for the same work)
-    best = None
-    for _attempt in range(2):
-        t0 = time.time()
-        hot = detect_hot_keys(transcripts, sample_fraction=0.1)
-        elapsed = time.time() - t0
-        best = elapsed if best is None or elapsed < best else best
-    timings["hot_key_detect"] = best
+    box: dict = {}
+
+    def probe():
+        box["hot"] = detect_hot_keys(transcripts, sample_fraction=0.1)
+
+    timings["hot_key_detect"] = best_of("hot_key_detect", probe)
+    hot = box["hot"]
 
     # phase 2 — CONDITIONAL: the salted repartition is bought only when
     # the probe actually finds hot keys (it doesn't on this corpus:
@@ -102,24 +134,19 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     # scan/cache partitions directly (the auto plan's no-skew path).
     # forced through an aggregate over the UDF output: a bare count()
     # lets Catalyst prune the (deterministic) pandas UDF away entirely
-    best = None
-    for _attempt in range(2):  # best-of-2: the box shows run-to-run noise
-        t0 = time.time()
-        out = extract_turns(src)
-        agg = out.agg(
+    def run_extract():
+        box["agg"] = extract_turns(src).agg(
             F.count("*").alias("n"),
             F.sum(F.length("extracted_text")).alias("bytes_out"),
             F.countDistinct("status").alias("n_status"),
         ).collect()[0]
-        elapsed = time.time() - t0
-        best = elapsed if best is None or elapsed < best else best
-    timings["extract_pipeline"] = best
-    n_out, bytes_out = agg["n"], agg["bytes_out"]
-    assert n_out == n_turns
-    if src is not transcripts:
-        src.unpersist()
+
+    timings["extract_pipeline"] = best_of("extract_pipeline", run_extract)
+    assert box["agg"]["n"] == n_turns
 
     if not ops:
+        if src is not transcripts:
+            src.unpersist()
         transcripts.unpersist()
         spark.stop()
         return {
@@ -131,18 +158,6 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    def best_of(fn, attempts=2):
-        # every leg best-of-2: single samples on this host catch
-        # multi-second hypervisor-steal spikes (observed a 3.6 s leg
-        # report 14 s with identical code)
-        best = None
-        for _ in range(attempts):
-            t0 = time.time()
-            fn()
-            elapsed = time.time() - t0
-            best = elapsed if best is None or elapsed < best else best
-        return best
-
     # the synthetic word-soup corpus is DEGENERATE for LSH: most doc
     # pairs genuinely exceed jaccard 0.7, so candidate verification is
     # inherently quadratic here (on real corpora LSH is sub-quadratic
@@ -150,31 +165,62 @@ def run_once(cores: int, sf_dir: str, sf: float, convs: int | None = None,
     # metric name (no silent caps).
     docs_capped = docs.filter(F.col("doc_id") < 300)
     timings["dedup_minhash_lsh_first300"] = best_of(
+        "dedup_minhash_lsh_first300",
         lambda: dedup.minhash_lsh_pairs(
             docs_capped, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.7
-        ).count()
+        ).count(),
     )
     timings["dedup_simhash"] = best_of(
-        lambda: dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect()
+        "dedup_simhash",
+        lambda: dedup.with_simhash(docs, "text").agg(F.sum("simhash")).collect(),
     )
     timings["text_profile"] = best_of(
+        "text_profile",
         lambda: textstats.text_profile(docs, "doc_id", "text")
         .agg(F.sum("fingerprint"), F.sum("ws_tokens"))
-        .collect()
+        .collect(),
     )
     timings["sim_cosine_topk"] = best_of(
-        lambda: similarity.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
+        "sim_cosine_topk",
+        lambda: similarity.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count(),
     )
     timings["sim_lsh_ann_topk"] = best_of(
-        lambda: similarity.lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count()
+        "sim_lsh_ann_topk",
+        lambda: similarity.lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).count(),
     )
 
+    # band self-check (VERDICT r04 #8): a leg whose best-of-2 lands
+    # above 2× its recorded clean band is re-run once and the full
+    # sample list reported — the one-shot driver record then carries
+    # its own drift evidence.  Bands are only meaningful at the driver
+    # config (sf0.1, default sizing).
+    bench_note: dict = {}
+    if abs(sf - 0.1) < 1e-9 and convs is None:
+        for name, hi in BAND_HI.items():
+            if name in timings and timings[name] > 2 * hi:
+                t0 = time.time()
+                leg_fns[name]()
+                samples[name].append(time.time() - t0)
+                timings[name] = min(timings[name], samples[name][-1])
+                bench_note[name] = {
+                    "band_hi_sec": hi,
+                    "samples_sec": [round(s, 3) for s in samples[name]],
+                    "status": (
+                        "in_band_after_rerun"
+                        if timings[name] <= 2 * hi
+                        else "choppy_host_leg"
+                    ),
+                }
+
+    if src is not transcripts:
+        src.unpersist()
     transcripts.unpersist()
     spark.stop()
     return {
         "turns": n_turns,
         "timings": timings,
         "turns_per_sec": n_turns / timings["extract_pipeline"],
+        "bench_note": bench_note,
     }
 
 
@@ -187,20 +233,19 @@ def main():
     result = run_once(cores, sf_dir, sf, convs)
     queries = {k: round(v, 3) for k, v in result["timings"].items()}
     total = round(sum(result["timings"].values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "extraction+ops suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "cores": cores,
-                "turns": result["turns"],
-                "turns_per_sec": round(result["turns_per_sec"], 1),
-            }
-        )
-    )
+    out = {
+        "metric": "extraction+ops suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cores,
+        "turns": result["turns"],
+        "turns_per_sec": round(result["turns_per_sec"], 1),
+    }
+    if result.get("bench_note"):
+        out["bench_note"] = result["bench_note"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
