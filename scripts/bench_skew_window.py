@@ -89,16 +89,23 @@ def main():
 
     cores = int(os.environ.get("SKEW_BENCH_CPUS", "8"))
     total = int(os.environ.get("SKEW_BENCH_EVENTS", "400000"))
+    hot_frac = float(os.environ.get("SKEW_BENCH_HOT_FRAC", "0.5"))
     spark = get_spark(app_name="bench-skew-window", cores=cores)
 
+    out_keys = max(1, int(4000 * (1 - hot_frac) / 0.5))
     corpora = {
         "uniform": build_events(spark, total, hot_frac=0.0, n_cold_keys=4000),
-        "skewed": build_events(spark, total, hot_frac=0.5, n_cold_keys=2000),
+        "skewed": build_events(spark, total, hot_frac=hot_frac, n_cold_keys=out_keys),
     }
     for df in corpora.values():
         df.count()  # materialize outside timing
 
-    out = {"metric": "window ops under planted key skew", "cores": cores, "events": total}
+    out = {
+        "metric": "window ops under planted key skew",
+        "cores": cores,
+        "events": total,
+        "hot_frac": hot_frac,
+    }
     for label, events in corpora.items():
         ckpts = build_checkpoints(events)
         ckpts.count()
@@ -120,14 +127,29 @@ def main():
                 .collect()[0][0]
             )
 
-        for name, fn in (("sessionize", run_session), ("asof", run_asof)):
+        def run_session_bounded():
+            return (
+                session_rollup(events, "key", "ts", 600, "event_id", bounded=True)
+                .agg(F.count("*"), F.sum("n_events"), F.sum("duration_us"))
+                .collect()[0][0]
+            )
+
+        legs = (
+            ("sessionize", run_session),
+            ("sessionize_bounded", run_session_bounded),
+            ("asof", run_asof),
+        )
+        for name, fn in legs:
             samples = [timed(fn) for _ in range(2)]
             assert len({n for _, n in samples}) == 1
             out[f"{label}_{name}_sec"] = [s for s, _ in samples]
             out[f"{label}_{name}_rows"] = samples[0][1]
+        assert (
+            out[f"{label}_sessionize_rows"] == out[f"{label}_sessionize_bounded_rows"]
+        )
         ckpts.unpersist()
 
-    for name in ("sessionize", "asof"):
+    for name in ("sessionize", "sessionize_bounded", "asof"):
         out[f"{name}_skew_penalty"] = round(
             min(out[f"skewed_{name}_sec"]) / min(out[f"uniform_{name}_sec"]), 2
         )

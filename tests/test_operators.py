@@ -1719,6 +1719,56 @@ def test_exact_duplicates_normalize_ws(spark):
     assert got == {(2, 0), (2, 2)}
 
 
+def test_sessionize_bounded_parity_with_hot_key(spark):
+    """sessionize_bounded ≡ sessionize on a corpus with one hot key
+    spanning many range partitions, timestamp ties, and multi-key
+    partitions — the stitch (carried offsets + boundary gap flags)
+    must reproduce the single-sort session ids exactly."""
+    import datetime
+    import random
+
+    from webtext_extraction_spark.operators.relational import (
+        sessionize,
+        sessionize_bounded,
+    )
+
+    rnd = random.Random(42)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hot key: 600 events, gaps of 10s usually, 2000s jump every ~37
+    ts = t0
+    for i in range(600):
+        ts += datetime.timedelta(seconds=2000 if i % 37 == 36 else 10)
+        rows.append(("hot", eid, ts))
+        eid += 1
+    # 30 cold keys with few events each, including exact-tie timestamps
+    for k in range(30):
+        ts = t0 + datetime.timedelta(seconds=rnd.randint(0, 5000))
+        for i in range(rnd.randint(1, 6)):
+            ts += datetime.timedelta(seconds=rnd.choice([0, 5, 700]))
+            rows.append((f"k{k:02d}", eid, ts))
+            eid += 1
+    df = spark.createDataFrame(rows, ["key", "event_id", "ts"])
+    want = {
+        (r["key"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, "key", "ts", 600, "event_id").collect()
+    }
+    for nparts in (1, 4, 16):
+        got = {
+            (r["key"], r["event_id"]): r["session_idx"]
+            for r in sessionize_bounded(
+                df, "key", "ts", 600, "event_id", num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, nparts
+    # column-collision guard
+    with pytest.raises(ValueError, match="_pid"):
+        sessionize_bounded(
+            df.withColumn("_pid", F.lit(1)), "key", "ts", 600, "event_id"
+        )
+
+
 def test_sessionize_string_keys_transcript_shape(spark):
     """conv_id-style STRING keys (the transcripts use-case) — same
     segmentation semantics as numeric keys."""
