@@ -1483,6 +1483,63 @@ def test_asof_join_matches_python_reference_randomized(spark):
         assert got == expect, direction
 
 
+def test_asof_join_bounded_parity(spark):
+    """asof_join_bounded ≡ asof_join on a randomized corpus with one
+    hot key spanning many range partitions, equal-(key, ts) right
+    collisions, left rows with no match, a NULL join key, tolerance,
+    and both directions — the Spark-side carry stitch must reproduce
+    the single-sort matches exactly."""
+    import datetime
+    import random
+
+    from webtext_extraction_spark.operators.relational import (
+        asof_join,
+        asof_join_bounded,
+    )
+
+    rnd = random.Random(31)
+    t0 = datetime.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    eid = 0
+    # hot key 0: 400 left events; cold keys 1-5: few each; key None: 6
+    for _ in range(400):
+        lrows.append((eid, 0, t0 + datetime.timedelta(seconds=rnd.randint(0, 3000))))
+        eid += 1
+    for _ in range(60):
+        lrows.append(
+            (eid, rnd.randrange(1, 6), t0 + datetime.timedelta(seconds=rnd.randint(0, 50)))
+        )
+        eid += 1
+    for _ in range(6):
+        lrows.append((eid, None, t0 + datetime.timedelta(seconds=rnd.randint(0, 50))))
+        eid += 1
+    for j in range(150):
+        k = 0 if j < 100 else rnd.choice([1, 2, 3, 4, 5, None])
+        secs = rnd.randint(0, 3000) if k == 0 else rnd.randint(0, 50)
+        rrows.append((j, k, t0 + datetime.timedelta(seconds=secs)))
+    left = spark.createDataFrame(lrows, "eid long, k long, ts timestamp_ntz").repartition(5)
+    right = spark.createDataFrame(rrows, "rid long, k long, ts timestamp_ntz").repartition(4)
+
+    for direction, tol in [("backward", None), ("forward", None), ("backward", 9_000_000)]:
+        want = {
+            r["eid"]: (r["rid"], r["matched_ts_us"])
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["rid"],
+                direction=direction, tolerance_us=tol, right_tiebreak="rid",
+            ).collect()
+        }
+        for nparts in (1, 7, 16):
+            got = {
+                r["eid"]: (r["rid"], r["matched_ts_us"])
+                for r in asof_join_bounded(
+                    left, right, "k", "ts", "ts", ["rid"],
+                    direction=direction, tolerance_us=tol, right_tiebreak="rid",
+                    num_partitions=nparts,
+                ).collect()
+            }
+            assert got == want, (direction, tol, nparts)
+
+
 def test_topk_recall_hand_computed_including_silent_miss(spark):
     exact = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2), (2, 30, 1)],

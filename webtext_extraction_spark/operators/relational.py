@@ -344,6 +344,27 @@ def asof_join(
     long) — integer microseconds for exact cross-engine arithmetic,
     same convention as :func:`sessionize`.
     """
+    unioned, sign = _asof_union(
+        left, right, key_col, left_ts, right_ts, value_cols, direction, right_tiebreak
+    )
+    # right rows sort before left rows at equal ts (inclusive match);
+    # among equal-(key, ts) right rows the max tiebreak sorts last and
+    # therefore wins the running last()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ord_us", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    return _asof_finish(matched, left, value_cols, tolerance_us, sign)
+
+
+def _asof_union(
+    left, right, key_col, left_ts, right_ts, value_cols, direction, right_tiebreak
+):
+    """Shared validation + union-tag frame of the two as-of
+    formulations: (key, ord_us, side, tiebreak, right-value struct)
+    with left columns carried on side=1 rows."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     sign = 1 if direction == "backward" else -1
@@ -353,7 +374,8 @@ def asof_join(
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"value_cols collide with left columns: {clash}")
-    reserved = {"_k", "_ord_us", "_side", "_tb", "_rv", "_m", "matched_ts_us"}
+    reserved = {"_k", "_ord_us", "_side", "_tb", "_rv", "_m", "matched_ts_us",
+                "_pid", "_m_loc", "_carry"}
     bad = sorted(reserved & set(left.columns)) + [
         c for c in value_cols if c == "matched_ts_us"
     ]
@@ -376,18 +398,11 @@ def asof_join(
         (l_us * sign).alias("_ord_us"),
         F.lit(1).alias("_side"),
     )
-    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    return lhs.unionByName(rhs, allowMissingColumns=True), sign
 
-    # right rows sort before left rows at equal ts (inclusive match);
-    # among equal-(key, ts) right rows the max tiebreak sorts last and
-    # therefore wins the running last()
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ord_us", "_side", "_tb")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
 
+def _asof_finish(matched, left, value_cols, tolerance_us, sign):
+    """Shared tail: keep left rows, apply tolerance, project values."""
     out = matched.filter(F.col("_side") == 1)
     if tolerance_us is not None:
         # staleness = sign·(l_us − r_us); with _ord_us = l_us·sign this
@@ -401,6 +416,115 @@ def asof_join(
         *[F.col("_m").getField(c).alias(c) for c in value_cols],
         F.col("_m").getField("matched_ts_us").alias("matched_ts_us"),
     )
+
+
+def asof_join_bounded(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    right_tiebreak: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`asof_join` without the per-key single-task sort — the
+    hot-key-safe sibling of :func:`sessionize_bounded` (same regime
+    statement: an AVAILABILITY operator for a key whose merged
+    left+right history exceeds one task's sort capacity; identical
+    output, parity-tested and gated on asof_join's own oracle).
+
+    Shape: range-partition the union-tag frame on (key, ord, side,
+    tiebreak); per-partition running ``last(_rv, ignorenulls)``
+    windows (localCheckpoint AFTER the window — the
+    sessionize_bounded lesson); then stitching WITHOUT transporting
+    any right-row values through the driver: one tiny driver job
+    yields the ≤2·P boundary keys, a small Spark-side edge frame
+    (final local match per (partition, boundary key)) gets its own
+    running-last window over partition ids, and a broadcast join
+    hands each partition the carry — rows whose local running last is
+    still NULL coalesce to it.  Driver data is O(P) key scalars,
+    never values.
+    """
+    spark = left.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    unioned, sign = _asof_union(
+        left, right, key_col, left_ts, right_ts, value_cols, direction, right_tiebreak
+    )
+    parted = unioned.repartitionByRange(
+        num_partitions, F.col("_k"), F.col("_ord_us"), F.col("_side"), F.col("_tb")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_pid", "_k")
+        .orderBy("_ord_us", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = parted.withColumn(
+        "_m_loc", F.last("_rv", ignorenulls=True).over(w_loc)
+    ).localCheckpoint()
+
+    # driver job: boundary keys only (first/last key per partition)
+    edges = {
+        r["_pid"]: r
+        for r in loc.groupBy("_pid")
+        .agg(F.min("_k").alias("_first"), F.max("_k").alias("_last"))
+        .collect()
+    }
+    raw_keys = {r["_first"] for r in edges.values()} | {
+        r["_last"] for r in edges.values()
+    }
+    has_null_key = None in raw_keys
+    boundary_keys = sorted(k for k in raw_keys if k is not None)
+    if raw_keys:
+        # final local match per (pid, boundary key): the _m_loc of the
+        # group's LAST row; carry for pid p = last non-null final match
+        # over pids < p of the same key (tiny frame, values never leave
+        # Spark).  NULL keys group together in the as-of window, so
+        # they participate via null-safe predicates when present.
+        is_boundary = F.col("_k").isin(boundary_keys) if boundary_keys else F.lit(False)
+        if has_null_key:
+            is_boundary = is_boundary | F.col("_k").isNull()
+        finals = (
+            loc.filter(is_boundary)
+            .groupBy("_pid", "_k")
+            .agg(
+                F.max_by(
+                    "_m_loc", F.struct("_ord_us", "_side", "_tb")
+                ).alias("_last_rv")
+            )
+        )
+        w_edge = (
+            Window.partitionBy("_k")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            finals.withColumn(
+                "_carry", F.last("_last_rv", ignorenulls=True).over(w_edge)
+            )
+            .filter(F.col("_carry").isNotNull())
+            .select(
+                F.col("_pid").alias("_c_pid"),
+                F.col("_k").alias("_c_k"),
+                "_carry",
+            )
+        )
+        matched = (
+            loc.join(
+                F.broadcast(carries),
+                (F.col("_pid") == F.col("_c_pid"))
+                & F.col("_k").eqNullSafe(F.col("_c_k")),
+                "left",
+            )
+            .withColumn("_m", F.coalesce("_m_loc", "_carry"))
+            .drop("_c_pid", "_c_k", "_carry")
+        )
+    else:
+        matched = loc.withColumn("_m", F.col("_m_loc"))
+    return _asof_finish(matched, left, value_cols, tolerance_us, sign)
 
 
 def nav_char_ratio(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
