@@ -1824,6 +1824,19 @@ def test_sessionize_bounded_parity_with_hot_key(spark):
         sessionize_bounded(
             df.withColumn("_pid", F.lit(1)), "key", "ts", 600, "event_id"
         )
+    # plan shape: the heavy work (range shuffle + per-partition window)
+    # ran ONCE behind the eager localCheckpoint — the returned frame is
+    # a projection over the materialized RDD plus at most a broadcast
+    # stitch join; never a per-key global window, BNLJ, or cartesian
+    plan = (
+        sessionize_bounded(df, "key", "ts", 600, "event_id", num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_sessionize_string_keys_transcript_shape(spark):
