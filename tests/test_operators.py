@@ -1950,6 +1950,54 @@ def test_remove_duplicate_spans_hand_and_python_oracle(spark):
         assert got == expect, method
 
 
+def test_minhash_incremental_properties(spark, docs_df):
+    """Incremental dedup invariants: (1) with an EMPTY prior it equals
+    the full pairwise operator; (2) with the first half persisted as
+    prior signatures and the second half as new, the result is exactly
+    the full pairs MINUS prior×prior pairs; (3) signature artifact
+    roundtrips through parquet."""
+    import tempfile
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs_df, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.3
+        ).collect()
+    }
+    empty_prior = dedup.minhash_signatures(
+        docs_df.filter(F.lit(False)), "doc_id", "text", num_hashes=8
+    )
+    got_all_new = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_incremental(
+            docs_df, empty_prior, "doc_id", "text",
+            num_hashes=8, bands=4, jaccard_threshold=0.3,
+        ).collect()
+    }
+    assert got_all_new == full
+
+    ids = sorted(r["doc_id"] for r in docs_df.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    prior_docs = docs_df.filter(F.col("doc_id") < cut)
+    new_docs = docs_df.filter(F.col("doc_id") >= cut)
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup.minhash_signatures(
+            prior_docs, "doc_id", "text", num_hashes=8
+        ).write.parquet(tmp + "/sigs")
+        prior_sigs = spark.read.parquet(tmp + "/sigs")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.minhash_lsh_pairs_incremental(
+                new_docs, prior_sigs, "doc_id", "text",
+                num_hashes=8, bands=4, jaccard_threshold=0.3,
+            ).collect()
+        }
+    expect = {
+        pair: j for pair, j in full.items() if not (pair[0] < cut and pair[1] < cut)
+    }
+    assert got == expect
+
+
 def test_ngram_jaccard_bucketized_equi_join(spark):
     """The r5 bucketized range join: pairs straddling a bucket
     boundary (id 9→10 with window 10 buckets them 0 vs 1) must still

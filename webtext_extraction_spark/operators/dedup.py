@@ -213,6 +213,124 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """The persistable per-snapshot signature artifact for INCREMENTAL
+    dedup — the production pattern where each new crawl dedups against
+    the existing corpus without re-reading its text: (id, ws_hashes,
+    minhash), derived exactly as inside :func:`minhash_lsh_pairs`
+    (hashed word set tokenized once; signature from the same hashed
+    array; zero-token docs excluded — same ownership rule).  Persist
+    this per snapshot; feed it to
+    :func:`minhash_lsh_pairs_incremental` as ``prior_signatures``.
+    Signature width: ``num_hashes`` int64s + the distinct-word hashes
+    — payload text never needs to be stored or shuffled again."""
+
+    def perm(a: int, b: int):
+        return lambda h: ((h % F.lit(TOKEN_SPACE)) * F.lit(a) + F.lit(b)) % F.lit(
+            MINHASH_PRIME
+        )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        hashed_word_set(F.col(text_col)).alias("_ws"),
+    ).filter(F.size("_ws") > 0)
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.col("_ws").alias("ws_hashes"),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_ws"), perm(a, b)))
+                for a, b in _perm_params(num_hashes)
+            ]
+        ).alias("minhash"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    prior_signatures: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup pass: candidate pairs via banded LSH where
+    AT LEAST ONE side is from ``new_df`` — prior×prior pairs are
+    excluded in the join predicate because earlier runs already
+    resolved them (the crawl-over-crawl production shape).  Returns
+    (id_a, id_b, jaccard) with id_a < id_b, exactly
+    :func:`minhash_lsh_pairs`' output contract, so cluster resolution
+    composes unchanged; with an empty prior it degenerates to the full
+    pairwise operator (property-tested).
+
+    ``prior_signatures`` is a :func:`minhash_signatures` table (same
+    ``num_hashes``; ids must be unique across new ∪ prior — a
+    re-crawled id belongs in ``new_df``, not both).  Scale shape: the
+    (band, bucket) equi-join must still carry the prior signatures
+    (any prior row may collide with a new one), but those are
+    hash-width arrays, not text — the artifact's whole point — and
+    the expensive exact-Jaccard verification runs only on pairs that
+    survive the at-least-one-new predicate."""
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(new_df, id_col, text_col, num_hashes).withColumn(
+        "_new", F.lit(True)
+    )
+    prior = prior_signatures.select(
+        F.col(id_col), "ws_hashes", "minhash"
+    ).withColumn("_new", F.lit(False))
+    allsigs = new_sigs.unionByName(prior)
+    banded = allsigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("ws_hashes").alias("_ws"),
+        "_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_ws", "_new", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id"))
+            & (F.col("l._new") | F.col("r._new")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._ws").alias("ws_a"),
+            F.col("r._ws").alias("ws_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa, wb = F.col("ws_a"), F.col("ws_b")
+    jac = F.size(F.array_intersect(wa, wb)) / F.size(F.array_union(wa, wb))
+    return (
+        candidates.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     """Append ``simhash`` bigint: bit b set iff the sum over tokens of
     sign(h(w) & 2^b) is positive.  Single pass: ONE ``F.aggregate``
