@@ -57,8 +57,20 @@ def main(argv=None):
                              "duplicated --substring-n-gram spans (Lee et al.)")
     parser.add_argument("--substring-n", type=int, default=20)
     parser.add_argument("--jaccard", type=float, default=0.7)
+    parser.add_argument("--prior-signatures", default=None,
+                        help="with --dedup neardup: a minhash_signatures "
+                             "parquet from prior runs — candidate pairs "
+                             "then require at least one NEW doc "
+                             "(crawl-over-crawl incremental dedup; prior "
+                             "keepers are never re-litigated)")
+    parser.add_argument("--emit-signatures", default=None,
+                        help="write this run's minhash_signatures parquet "
+                             "here (the artifact the NEXT run passes as "
+                             "--prior-signatures)")
     parser.add_argument("--scrub-pii", action="store_true")
     args = parser.parse_args(argv)
+    if args.prior_signatures and args.dedup != "neardup":
+        parser.error("--prior-signatures requires --dedup neardup")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -126,15 +138,39 @@ def main(argv=None):
             idc,
         )
     elif args.dedup == "neardup":
-        pairs = dedup.minhash_lsh_pairs(
-            docs, idc, txt, num_hashes=8, bands=4, jaccard_threshold=args.jaccard
-        )
-        nodes = docs.select(F.col(idc).alias("node"))
-        keepers = (
-            dedup.connected_components(pairs, nodes, check_every=2)
-            .filter(F.col("node") == F.col("component"))
-            .select(F.col("node").alias(idc))
-        )
+        if args.prior_signatures:
+            # crawl-over-crawl: pairs require >=1 NEW side; cluster
+            # resolution runs over new ∪ prior nodes, so a new doc
+            # transitively linked to the existing corpus loses to the
+            # prior keeper (ids are monotone across crawls — the
+            # cluster min is the prior doc), while new-only clusters
+            # elect their own min-id keeper as usual
+            prior_sigs = spark.read.parquet(args.prior_signatures)
+            pairs = dedup.minhash_lsh_pairs_incremental(
+                docs, prior_sigs, idc, txt,
+                num_hashes=8, bands=4, jaccard_threshold=args.jaccard,
+            )
+            nodes = docs.select(F.col(idc).alias("node")).unionByName(
+                prior_sigs.select(F.col(idc).alias("node"))
+            )
+            keepers = (
+                dedup.connected_components(pairs, nodes, check_every=2)
+                .filter(F.col("node") == F.col("component"))
+                .join(
+                    docs.select(F.col(idc).alias("node")), "node", "left_semi"
+                )
+                .select(F.col("node").alias(idc))
+            )
+        else:
+            pairs = dedup.minhash_lsh_pairs(
+                docs, idc, txt, num_hashes=8, bands=4, jaccard_threshold=args.jaccard
+            )
+            nodes = docs.select(F.col(idc).alias("node"))
+            keepers = (
+                dedup.connected_components(pairs, nodes, check_every=2)
+                .filter(F.col("node") == F.col("component"))
+                .select(F.col("node").alias(idc))
+            )
         out = out.join(keepers, idc)
 
     if args.scrub_pii:
@@ -149,6 +185,19 @@ def main(argv=None):
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"curated rows: {n}")
+
+    if args.emit_signatures:
+        # the artifact the NEXT run passes as --prior-signatures: this
+        # run's docs, unioned with the prior artifact when one was
+        # given (so the corpus signature table accretes run over run)
+        sigs = dedup.minhash_signatures(docs, idc, txt, num_hashes=8)
+        if args.prior_signatures:
+            sigs = sigs.unionByName(
+                spark.read.parquet(args.prior_signatures)
+                .select(idc, "ws_hashes", "minhash")
+            )
+        sigs.write.mode("overwrite").parquet(args.emit_signatures)
+        print(f"signatures: {spark.read.parquet(args.emit_signatures).count()}")
     spark.stop()
 
 

@@ -78,3 +78,53 @@ def test_run_curate_substring_dedup_rewrites_text(spark, tmp_path, monkeypatch):
     assert "one two three four five" not in got[1]["text"]  # later occurrence stripped
     assert got[1]["text"] == "beta prefix suffix1"
     assert got[2]["removed_frac"] == 0.0
+
+
+def test_run_curate_incremental_neardup_two_runs(spark, tmp_path, monkeypatch):
+    """Crawl-over-crawl loop: run 1 emits the signature artifact; run 2
+    passes it as --prior-signatures, drops new docs that near-match the
+    existing corpus (prior keeper wins), keeps genuinely-new docs, and
+    emits the accreted artifact."""
+    from jobs import run_curate
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    crawl1 = [
+        (0, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (1, "completely different prose about distributed query engines at scale"),
+    ]
+    crawl2 = [
+        (10, "the quick brown fox jumps over the lazy dog in the morning sun"),  # dup of 0
+        (11, "fresh never-seen content about scanline filters and codecs"),
+        (12, "fresh never-seen content about scanline filters and codecs"),      # dup of 11
+    ]
+    in1, in2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    spark.createDataFrame(crawl1, ["doc_id", "text"]).write.parquet(in1)
+    spark.createDataFrame(crawl2, ["doc_id", "text"]).write.parquet(in2)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    sigs1, sigs2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+
+    run_curate.main(
+        ["--input", in1, "--output", out1, "--dedup", "neardup",
+         "--jaccard", "0.7", "--emit-signatures", sigs1]
+    )
+    assert spark.read.parquet(sigs1).count() == 2
+
+    run_curate.main(
+        ["--input", in2, "--output", out2, "--dedup", "neardup",
+         "--jaccard", "0.7", "--prior-signatures", sigs1,
+         "--emit-signatures", sigs2]
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    # 10 loses to prior doc 0; 11 keeps (new cluster root); 12 loses to 11
+    assert kept == [11]
+    # accreted artifact = prior 2 + new 3
+    assert spark.read.parquet(sigs2).count() == 5
+
+    # flag validation
+    import pytest
+
+    with pytest.raises(SystemExit):
+        run_curate.main(
+            ["--input", in2, "--output", out2, "--dedup", "exact",
+             "--prior-signatures", sigs1]
+        )
