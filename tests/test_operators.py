@@ -1950,6 +1950,20 @@ def test_remove_duplicate_spans_hand_and_python_oracle(spark):
         assert got == expect, method
 
 
+def test_corpus_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "will vanish"), (3, None)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "changed!"), (4, "brand new"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()}
+    # NULL old text vs '' new text: both hash as empty -> unchanged
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "unchanged", 4: "added"}
+
+
 def test_minhash_incremental_properties(spark, docs_df):
     """Incremental dedup invariants: (1) with an EMPTY prior it equals
     the full pairwise operator; (2) with the first half persisted as

@@ -85,6 +85,40 @@ def exact_duplicates(
     )
 
 
+def corpus_diff(
+    old_df: DataFrame, new_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff for corpus auditing — which documents were added,
+    removed, changed, or carried unchanged between two corpus versions
+    (the repro / provenance check a training-data pipeline runs before
+    re-training on a refreshed crawl).
+
+    Shape: project each side to (id, md5) — text never leaves its
+    scan — then ONE full outer join on the id (two hash shuffles of
+    36-byte rows).  Status is a pure expression over hash presence /
+    equality.  NULL text hashes as the empty document so a NULL→''
+    rewrite does not report as a change.
+
+    Output: (id, status ∈ added|removed|changed|unchanged, old_hash,
+    new_hash), one row per id in either snapshot."""
+    def hashed(df, alias):
+        return df.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(alias),
+        )
+
+    joined = hashed(old_df, "old_hash").join(
+        hashed(new_df, "new_hash"), id_col, "full_outer"
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
 def with_minhash_signature(
     df: DataFrame, text_col: str, num_hashes: int = 16
 ) -> DataFrame:
