@@ -276,3 +276,161 @@ def test_codec_roundtrips_fuzz(h, w, seed):
     out = decode_image(image_resizer(encode_bmp(arr), tw, th))
     assert out.shape == (th, tw, 3)
     assert np.array_equal(out, resize_nearest(arr, tw, th))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential)
+# ---------------------------------------------------------------------------
+
+import struct
+
+from webtext_extraction_spark.operators.codecs import (
+    _rgb_to_ycbcr,
+    _ycbcr_to_rgb,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _ycbcr_roundtrip(img):
+    """The deterministic integer YCbCr roundtrip a flat-quantizer JPEG
+    of a per-block-constant image must reproduce EXACTLY."""
+    ycc = _rgb_to_ycbcr(img)
+    return _ycbcr_to_rgb(ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2])
+
+
+def test_jpeg_constant_color_exact_all_modes():
+    """Constant images are bit-exact through encode→decode with a flat
+    quantizer (DC-only blocks): every subsampling mode, odd dims,
+    restart intervals."""
+    for r, g, b in [(0, 0, 0), (255, 255, 255), (13, 200, 77), (128, 128, 128)]:
+        img = np.zeros((11, 13, 3), np.uint8)
+        img[:] = (r, g, b)
+        for sub, dri in [("444", 0), ("420", 0), ("420", 1), ("444", 2)]:
+            dec = decode_jpeg(
+                encode_jpeg(img, quant=1, subsampling=sub, restart_interval=dri)
+            )
+            assert np.array_equal(dec, _ycbcr_roundtrip(img)), (r, g, b, sub, dri)
+
+
+def test_jpeg_tiled_blocks_exact():
+    """Per-8x8-block-constant images stay exact at 4:4:4 (each block is
+    DC-only; DC prediction crosses blocks with both diff signs)."""
+    img = np.zeros((16, 24, 3), np.uint8)
+    for ty in range(2):
+        for tx in range(3):
+            t = ty * 3 + tx
+            img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (
+                (t * 40) % 256, (t * 40 + 85) % 256, (t * 40 + 170) % 256,
+            )
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert np.array_equal(dec, _ycbcr_roundtrip(img))
+    # grayscale tiles skip color conversion: decode == input exactly
+    gray = np.random.RandomState(3).randint(
+        0, 256, size=(3, 4), dtype=np.uint8
+    ).repeat(8, 0).repeat(8, 1)
+    dec = decode_jpeg(encode_jpeg(gray, quant=1, restart_interval=2))
+    assert np.array_equal(dec, gray)
+
+
+def test_jpeg_near_lossless_bounds():
+    """Flat quantizer (all 1s) on arbitrary content: gray is within ±1
+    (DCT round only); color 4:4:4 within ±4 of the YCbCr integer
+    roundtrip (±0.5 coefficient quantization error amplified ≤1.772×
+    through the chroma→B conversion, summed over paths)."""
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        gray = rng.randint(0, 256, size=(17, 19), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(gray, quant=1))
+        assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 1
+        img = rng.randint(0, 256, size=(24, 31, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quant=1))
+        err = np.abs(dec.astype(int) - _ycbcr_roundtrip(img).astype(int)).max()
+        assert err <= 4, err
+
+
+def test_jpeg_coarse_quant_and_quant_recovery():
+    img = np.random.RandomState(1).randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quant=(7, 9), subsampling="420", restart_interval=3)
+    dec, qt = decode_jpeg(payload, return_quant=True)
+    assert dec.shape == img.shape
+    assert qt[0][0, 0] == 7 and qt[1][0, 0] == 9
+    assert qt[0].shape == (8, 8)
+
+
+def test_jpeg_hand_built_bitstream():
+    """Independent spec check: a JPEG assembled BYTE BY HAND in this
+    test (custom single-code Huffman tables, entropy bits written from
+    T.81's rules, never from the encoder) must decode to the exact
+    pixels the DC-only IDCT rule predicts — catching an encoder and
+    decoder that agree with each other but not with the spec."""
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def hand_jpeg(entropy_byte):
+        dqt = bytes([0]) + bytes([1] * 64)
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
+        # DC table: single code '0' (length 1) -> category 4
+        dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([4])
+        # AC table: single code '0' (length 1) -> EOB
+        dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+        sos = bytes([1]) + bytes((1, 0x00)) + bytes((0, 63, 0))
+        return (
+            b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+            + seg(0xC4, dht_dc) + seg(0xC4, dht_ac) + seg(0xDA, sos)
+            + bytes([entropy_byte]) + b"\xff\xd9"
+        )
+
+    # bits: DC code '0', diff +9 -> '1001', EOB '0', pad '11'
+    # DC=9 -> idct 9/8=1.125 -> +128 -> round-half-up 129 everywhere
+    out = decode_jpeg(hand_jpeg(0b01001011))
+    assert out.shape == (8, 8) and np.all(out == 129)
+    # diff -9 encodes as -9 + 2^4 - 1 = 6 -> '0110'; 126.875 -> 127
+    out = decode_jpeg(hand_jpeg(0b00110011))
+    assert np.all(out == 127)
+
+
+def test_jpeg_rejects_unsupported_and_corruption():
+    img = np.random.RandomState(2).randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quant=1)
+    # progressive: flip SOF0 -> SOF2
+    bad = bytearray(payload)
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(bad))
+    # 16-bit quantization table: set DQT precision nibble
+    bad = bytearray(payload)
+    bad[bad.find(b"\xff\xdb") + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x11" + payload[2:])
+    with pytest.raises(ValueError):
+        encode_jpeg(img, quant=0)  # quantizer out of range
+    with pytest.raises(ValueError):
+        encode_jpeg(img, subsampling="422x")
+
+
+def test_jpeg_through_seam():
+    # gray JPEG lifts to 3 channels via decode_image
+    gray = np.full((8, 16), 200, np.uint8)
+    lifted = decode_image(encode_jpeg(gray, quant=1))
+    assert lifted.shape == (8, 16, 3) and np.all(lifted == 200)
+    # resizer keeps the JPEG container AND the source's rate point
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:] = (13, 200, 77)
+    out = image_resizer(encode_jpeg(img, quant=(5, 11)), 8, 8)
+    assert out[:2] == b"\xff\xd8"
+    dec, qt = decode_jpeg(out, return_quant=True)
+    assert dec.shape == (8, 8, 3)
+    assert qt[0][0, 0] == 5 and qt[1][0, 0] == 11
+    # at the flat-1 rate point the resize chain stays exact:
+    # decode(q=1) -> nearest(8x8 of a constant) -> encode(q=1)
+    exact = decode_jpeg(image_resizer(encode_jpeg(img, quant=1), 8, 8))
+    assert np.array_equal(exact, _ycbcr_roundtrip(_ycbcr_roundtrip(img)[:8, :8]))
+    # feature seam accepts JPEG payloads
+    feats = image_feature(encode_jpeg(img, quant=1), "image")
+    assert len(feats) == 8 and feats[7] == 1.0

@@ -2,9 +2,10 @@
 
 The container has no PIL/ffmpeg, but these formats need no external
 library: binary PPM (P6) / PGM (P5) and 24-bit uncompressed BMP are a
-header + raw pixel rows (``struct`` + numpy), and PNG (r5) needs only
-stdlib zlib for its IDAT stream plus the five scanline filters — the
-first COMPRESSED format through the seam.  These plug into
+header + raw pixel rows (``struct`` + numpy), PNG (r5) needs only
+stdlib zlib for its IDAT stream plus the five scanline filters, and
+baseline JPEG (r5) is markers + canonical Huffman + an 8x8 DCT matrix
+product — ITU-T T.81 end to end, no external code.  These plug into
 ``extract_media_features(decoder=image_feature)`` and
 ``resize_media(resizer=image_resizer)`` — the previously
 environment-gated ``decode_stub=False`` path is REAL for these
@@ -316,6 +317,571 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, 8-bit, grayscale / YCbCr)
+# ---------------------------------------------------------------------------
+#
+# The second COMPRESSED format through the seam — baseline JPEG is
+# fully specified by ITU-T T.81 and needs no external library: marker
+# parse (struct), canonical Huffman entropy coding (pure python bit
+# loop), and the 8x8 DCT as one orthogonal matrix product (numpy
+# einsum over all blocks at once).  Scope mirrors what a web corpus
+# actually carries: baseline sequential (SOF0/SOF1), 8-bit samples,
+# 1-component grayscale or 3-component YCbCr with sampling factors in
+# {1, 2}, restart intervals, multi-scan NOT supported — progressive
+# (SOF2), arithmetic coding, hierarchical, and 12-bit all raise, so
+# unsupported media routes to a quarantine status, never a guess.
+#
+# The bundled encoder exists for test fixtures and the resizer
+# re-encode; it emits baseline 4:4:4 / 4:2:0 / grayscale with the
+# T.81 Annex K example Huffman tables embedded in DHT (the decoder
+# always builds its tables from the file's own DHT, so a transcription
+# slip could not self-hide — the hand-written-bitstream unit test
+# checks the canonical code construction against the spec rule
+# independently).
+#
+# Exactness contract the gate leans on: with a flat quantizer (all 1s)
+# an image that is CONSTANT per 8x8 block is bit-exact through
+# encode→decode — a constant block has only a DC coefficient (integer,
+# unquantized), the IDCT of a DC-only block is constant to ~1e-13, and
+# half-up rounding recovers the integer.  Color adds one deterministic
+# integer YCbCr→RGB roundtrip, replayed in the DuckDB oracle.  All
+# sample rounding is floor(x + 0.5) — half-UP, never banker's — on
+# both the codec and the oracle side.
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _zigzag_order() -> np.ndarray:
+    """The T.81 zigzag scan generated from its rule (anti-diagonals,
+    odd diagonals walk row-increasing) rather than transcribed."""
+    coords = []
+    for d in range(15):
+        diag = [(r, d - r) for r in range(max(0, d - 7), min(7, d) + 1)]
+        coords.extend(diag if d % 2 == 1 else diag[::-1])
+    return np.array([r * 8 + c for r, c in coords], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthogonal 8x8 DCT-II matrix M: forward S = M s Mᵀ, inverse
+    s = Mᵀ S M — exactly T.81's normalization (A.3.3)."""
+    x = np.arange(8, dtype=np.float64)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+# T.81 Annex K example Huffman tables (public spec constants): the
+# (BITS, HUFFVAL) form DHT carries.  One DC + one AC table serve every
+# component here (both scan selectors point at table 0 — legal).
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _build_huffman(bits: list[int], vals: list[int]):
+    """Canonical JPEG Huffman code assignment (T.81 C.2): codes of
+    each length are consecutive, starting from double the first code
+    of the previous length.  Returns (encode: sym → (code, length),
+    decode: (length, code) → sym)."""
+    if len(bits) != 16 or sum(bits) != len(vals):
+        raise ValueError("malformed Huffman table spec")
+    encode: dict[int, tuple[int, int]] = {}
+    decode: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("Huffman table overflows its code space")
+            sym = vals[k]
+            encode[sym] = (code, length)
+            decode[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return encode, decode
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + 0.5)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → (h, w, 3) uint8 YCbCr, JFIF constants,
+    half-up rounding (the oracle replays these literals in SQL)."""
+    f = arr.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to (ph, pw) — T.81's recommended
+    fill keeps padded blocks constant when the visible part is."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def pad_to_byte(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+    def raw_marker(self, byte2: int) -> None:
+        self.pad_to_byte()
+        self.out += bytes((0xFF, byte2))
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category, appended-bits value) for a DC diff / AC amplitude:
+    negatives are stored as v + 2^cat - 1 (one's-complement form)."""
+    cat = int(abs(v)).bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def _quant_tables(quant) -> tuple[np.ndarray, np.ndarray]:
+    def one(q):
+        t = (np.full((8, 8), int(q)) if np.isscalar(q)
+             else np.asarray(q, dtype=np.int64).reshape((8, 8)))
+        if t.min() < 1 or t.max() > 255:
+            raise ValueError("quantizer values must be in 1..255")
+        return t
+    if isinstance(quant, tuple) and len(quant) == 2:
+        return one(quant[0]), one(quant[1])
+    t = one(quant)
+    return t, t
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant=1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF JPEG.
+    ``quant``: scalar / (8, 8) array / (luma, chroma) pair, natural
+    (row-major) order, values 1..255 — the default flat 1 is the
+    near-lossless fixture regime.  ``subsampling``: '444' or '420'
+    (color only).  ``restart_interval``: DRI in MCUs (0 = none)."""
+    if arr.ndim == 2:
+        gray = True
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        gray = False
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(f"bad restart interval {restart_interval}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+    ql, qc = _quant_tables(quant)
+
+    # component planes + sampling factors
+    if gray:
+        comps = [(None, arr.astype(np.float64), 1, 1, 0)]
+        hmax = vmax = 1
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        y, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
+        if subsampling == "420":
+            lh = lv = 2
+            ph, pw = h + (h & 1), w + (w & 1)
+            cbp = _pad_edge(cb, ph, pw).astype(np.float64)
+            crp = _pad_edge(cr, ph, pw).astype(np.float64)
+            cb = _round_half_up(
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            )
+            cr = _round_half_up(
+                (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            )
+        else:
+            lh = lv = 1
+            cb = cb.astype(np.float64)
+            cr = cr.astype(np.float64)
+        comps = [
+            (None, y.astype(np.float64), lh, lv, 0),
+            (None, cb, 1, 1, 1),
+            (None, cr, 1, 1, 1),
+        ]
+        hmax, vmax = lh, lv
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component padded planes and quantized zigzag blocks per MCU
+    enc_dc, _ = _build_huffman(_STD_DC_BITS, _STD_DC_VALS)
+    enc_ac, _ = _build_huffman(_STD_AC_BITS, _STD_AC_VALS)
+    comp_blocks = []
+    for ci, (_, plane, hs, vs, tq) in enumerate(comps):
+        q = (ql if tq == 0 else qc).astype(np.float64)
+        pw, ph = mcux * 8 * hs, mcuy * 8 * vs
+        p = _pad_edge(plane, ph, pw) - 128.0
+        nby, nbx = ph // 8, pw // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,...xy,vy->...uv", _DCT_M, blocks, _DCT_M)
+        qz = np.round(coef / q).astype(np.int64)
+        comp_blocks.append((qz, hs, vs, nbx))
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n_mcu = my * mcux + mx
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.raw_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (qz, hs, vs, _) in enumerate(comp_blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = qz[my * vs + by, mx * hs + bx]
+                        zz = blk.reshape(64)[_ZIGZAG]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        cat, bits = _mag_bits(diff)
+                        code, ln = enc_dc[cat]
+                        bw.write(code, ln)
+                        if cat:
+                            bw.write(bits, cat)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = nz[-1] + 1 if nz.size else 0
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = enc_ac[0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            cat, bits = _mag_bits(v)
+                            code, ln = enc_ac[(run << 4) | cat]
+                            bw.write(code, ln)
+                            bw.write(bits, cat)
+                            run = 0
+                        if last < 63:
+                            code, ln = enc_ac[0x00]  # EOB
+                            bw.write(code, ln)
+    bw.pad_to_byte()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, (_, _, hs, vs, tq) in enumerate(comps):
+        sof += bytes((ci + 1, (hs << 4) | vs, tq))
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes((ci + 1, 0x00))  # DC table 0, AC table 0
+    sos += bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed data byte
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} in entropy stream"
+                    if nxt is not None else "truncated JPEG entropy stream"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (skipping any
+        stuffed 0xFF00 the 1-bit padding may have produced)."""
+        self.acc = 0
+        self.nbits = 0
+        while (
+            self.pos + 2 <= len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _decode_huffman_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes, return_quant: bool = False):
+    """Baseline JPEG → uint8 gray (h, w) or RGB (h, w, 3).  With
+    ``return_quant``, also returns the file's quantization tables
+    ({table_id: (8, 8) natural-order array}) so a re-encode can keep
+    the source's rate point."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker in _SOF_UNSUPPORTED:
+            raise ValueError(f"unsupported JPEG coding: {_SOF_UNSUPPORTED[marker]}")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                zz = np.frombuffer(body, np.uint8, 64, o + 1).astype(np.int64)
+                qtables[tq] = zz[_UNZIGZAG].reshape((8, 8))
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                _, dec = _build_huffman(bits, vals)
+                htables[(tc, th)] = dec
+                o += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, precision={prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            sof = {"w": fw, "h": fh, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s : 3 + 2 * s]
+                sel[cs] = (tt >> 4, tt & 15)
+            scan = (sel, pos + 2 + seglen)
+            break
+        pos += 2 + seglen
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    sel, data_pos = scan
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    coef = []
+    for c in comps:
+        nbx, nby = mcux * c["h"], mcuy * c["v"]
+        coef.append(np.zeros((nby, nbx, 64), dtype=np.int64))
+        if c["tq"] not in qtables:
+            raise ValueError(f"JPEG references missing DQT {c['tq']}")
+        dc_id, ac_id = sel[c["id"]]
+        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+            raise ValueError("JPEG references missing DHT")
+        c["dc"], c["ac"] = htables[(0, dc_id)], htables[(1, ac_id)]
+
+    br = _BitReader(payload, data_pos)
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n_mcu = my * mcux + mx
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.expect_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        cat = _decode_huffman_symbol(br, c["dc"])
+                        preds[ci] += _extend(br.read_bits(cat), cat)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman_symbol(br, c["ac"])
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c["tq"]].reshape(64)[_ZIGZAG].astype(np.float64)
+        nby, nbx, _ = coef[ci].shape
+        blocks = (coef[ci] * q)[:, :, _UNZIGZAG].reshape(nby, nbx, 8, 8)
+        spat = np.einsum("ux,...uv,vy->...xy", _DCT_M, blocks, _DCT_M)
+        plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.clip(_round_half_up(plane + 128.0), 0, 255).astype(np.uint8)
+        # crop to this component's own dims, then upsample to full size
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = planes[0]
+    else:
+        out = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    if return_quant:
+        return out, qtables
+    return out
+
+
+# ---------------------------------------------------------------------------
 # seam adapters
 # ---------------------------------------------------------------------------
 
@@ -335,6 +901,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             arr = arr[:, :, 0]
         elif arr.ndim == 3 and arr.shape[2] == 4:  # RGBA -> RGB
             arr = arr[:, :, :3]
+    elif payload[:2] == b"\xff\xd8":
+        arr = decode_jpeg(payload)
     else:
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
     if arr.ndim == 2:
@@ -386,6 +954,13 @@ def image_resizer(payload: bytes, tw: int, th: int) -> bytes:
         arr = decode_bmp(payload)
     elif payload[:8] == _PNG_SIG:
         return encode_png(resize_nearest(decode_png(payload), tw, th))
+    elif magic == b"\xff\xd8":
+        # re-encode at the SOURCE's own rate point (its DQT tables);
+        # baseline 4:4:4 output — a resize already resamples chroma,
+        # so re-subsampling is not re-inferred from the source
+        arr, qt = decode_jpeg(payload, return_quant=True)
+        quant = (qt[0], qt.get(1, qt[0]))
+        return encode_jpeg(resize_nearest(arr, tw, th), quant=quant)
     else:
         raise ValueError(f"unrecognized image magic {magic!r}")
     out = resize_nearest(arr, tw, th)

@@ -9,10 +9,11 @@ content hash — the SQL-replayable oracle path); a ``decoder``/
 ``resizer`` callable runs REAL decode through the seam — and real
 dependency-free codecs ship in ``operators/codecs.py``
 (``image_feature`` / ``image_resizer``): binary PPM/PGM, 24-bit BMP,
-and (r5) 8-bit non-interlaced PNG — the first COMPRESSED format,
-stdlib-zlib only.  ``decode_stub=False`` with no callable raises
-NotImplementedError (the remaining gated formats — JPEG, video —
-genuinely need PIL/ffmpeg, absent in this container).
+(r5) 8-bit non-interlaced PNG (stdlib zlib), and (r5) baseline
+sequential JPEG (markers + canonical Huffman + 8x8 DCT matrix
+product, T.81 end to end).  ``decode_stub=False`` with no callable
+raises NotImplementedError (the remaining gated formats — progressive
+JPEG, video — genuinely need libjpeg/ffmpeg, absent here).
 
 At 100 TB this is the standard shape: binary stays columnar
 end-to-end (parquet → Arrow → pandas bytes) with no base64 detours,
