@@ -1950,6 +1950,45 @@ def test_remove_duplicate_spans_hand_and_python_oracle(spark):
         assert got == expect, method
 
 
+def test_hashed_bow_embedding_python_replay(spark):
+    """Exact python replay of the feature-hashing rule (bucket =
+    md5-60-bits % dim, sign = hex digit 16 parity, integer sums, L2
+    normalize), plus drop semantics for token-less docs and identical
+    vectors for identical texts."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "completely different words here entirely"),
+        (3, None),
+        (4, "   "),
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in similarity.hashed_bow_embedding(df, "text", "doc_id", dim=8).collect()
+    }
+
+    def py_embed(text, dim=8):
+        v = [0] * dim
+        for w in text.split():
+            d = hashlib.md5(w.encode()).hexdigest()
+            v[int(d[:15], 16) % dim] += 1 - 2 * (int(d[15], 16) % 2)
+        ss = sum(x * x for x in v)
+        if ss == 0:
+            return [0.0] * dim
+        return [x / math.sqrt(ss) for x in v]
+
+    assert set(got) == {0, 1, 2, 5}  # NULL and whitespace-only drop
+    for i, t in [(0, rows[0][1]), (2, rows[2][1]), (5, "single")]:
+        exp = py_embed(t)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got[i], exp)), i
+    assert got[0] == got[1]
+    assert abs(sum(x * x for x in got[0]) - 1.0) < 1e-12  # unit norm
+    with pytest.raises(ValueError, match="dim"):
+        similarity.hashed_bow_embedding(df, "text", "doc_id", dim=0)
+
+
 def test_corpus_diff_all_statuses(spark):
     old = spark.createDataFrame(
         [(0, "same"), (1, "will change"), (2, "will vanish"), (3, None)],

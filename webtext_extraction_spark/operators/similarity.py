@@ -59,6 +59,70 @@ def cosine(a, b):
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
 
 
+def hashed_bow_embedding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    → deterministic L2-unit vector — the text→vector bridge that lets
+    a corpus WITHOUT an embeddings table ride the ANN / near-dup stack
+    (cosine_topk, lsh_ann_topk, embedding_near_duplicates all accept
+    the output column).
+
+    Per token occurrence, ONE md5 supplies both coordinates from
+    disjoint digest substrings: bucket = first-60-bits % dim
+    (portable_hash64's slice), sign = parity of hex digit 16 — so the
+    DuckDB oracle replays it exactly, and signed counting keeps the
+    estimator unbiased (E[<φ(a), φ(b)>] = <a, b>).
+
+    Exactness contract: bucket sums and the squared norm stay in
+    INTEGER arithmetic (order-free, bit-identical cross-engine); the
+    only float ops are one sqrt and one division per component, so
+    round(val, 6) hashes match DuckDB with no float-sum-order caveat.
+
+    Shape at scale: explode → groupBy(id, bucket) with map-side
+    combine (shuffle rows are (id, int, partial-sum) — payload text
+    never shuffles) → groupBy(id) map assembly (hash-partitioning on
+    (id, bucket) already clusters by id's subset, but Catalyst plans
+    the second Exchange; both carry ≤ dim ints per doc).  Zero-token
+    docs (NULL/empty/whitespace text) drop — same convention as
+    unigram_logprob; a full-cancellation doc keeps the ZERO vector
+    (cosine() scores it 0.0 against everything by the r4 rule).
+    """
+    from ..functions.text import words
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tok = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    m = F.md5(F.col("w"))
+    h = F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint")  # 60 bits, >= 0
+    sbit = F.conv(F.substring(m, 16, 1), 16, 10).cast("int") % 2
+    contrib = tok.select(
+        F.col(id_col),
+        (h % dim).cast("int").alias("bucket"),
+        (F.lit(1) - 2 * sbit).cast("long").alias("s"),
+    )
+    sums = contrib.groupBy(id_col, "bucket").agg(F.sum("s").alias("v"))
+    assembled = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+        ).alias("bmap")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("bmap"), i), F.lit(0).cast("long")),
+    )
+    ss = F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    norm = F.sqrt(ss.cast("double"))
+    emb = F.when(
+        ss == F.lit(0), F.array_repeat(F.lit(0.0), dim)
+    ).otherwise(F.transform(arr, lambda x: x.cast("double") / norm))
+    return assembled.select(F.col(id_col), emb.alias(out_col))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
