@@ -503,3 +503,42 @@ def test_duplicate_spans_shuffles_hashes_not_text(spark, tmp_path):
     plan = _plan(duplicate_spans(spark.read.parquet(p), "doc_id", "text", n=4))
     for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
         assert "text#" not in m.group(0)
+
+
+def test_hashed_bow_embedding_two_int_shuffles_no_text(spark, tmp_path):
+    """The feature-hashing bridge shuffles only (id, bucket, sum) int
+    rows — the text column never enters an Exchange, and there is no
+    Python node anywhere (pure JVM expressions)."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.similarity import hashed_bow_embedding
+
+    p = str(tmp_path / "docs_hbe")
+    spark.createDataFrame(
+        [(i, "some words for doc %d" % i) for i in range(10)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(hashed_bow_embedding(spark.read.parquet(p), "text", "doc_id", dim=16))
+    assert _node_ids(plan, "Exchange") == 2
+    assert _node_ids(plan, "ArrowEvalPython") == 0
+    assert _node_ids(plan, "BatchEvalPython") == 0
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
+
+
+def test_corpus_diff_projects_hashes_before_join(spark, tmp_path):
+    """Snapshot diff joins 36-byte (id, md5) projections — the text
+    column never enters the full-outer-join Exchanges."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.dedup import corpus_diff
+
+    p = str(tmp_path / "docs_cd")
+    spark.createDataFrame(
+        [(i, "text %d" % i) for i in range(10)], ["doc_id", "text"]
+    ).write.parquet(p)
+    old = spark.read.parquet(p)
+    new = spark.read.parquet(p)
+    plan = _plan(corpus_diff(old, new, "doc_id", "text"))
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
