@@ -434,3 +434,107 @@ def test_jpeg_through_seam():
     # feature seam accepts JPEG payloads
     feats = image_feature(encode_jpeg(img, quant=1), "image")
     assert len(feats) == 8 and feats[7] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# MJPEG video in an AVI container
+# ---------------------------------------------------------------------------
+
+from webtext_extraction_spark.operators.codecs import (
+    encode_mjpeg_avi,
+    mjpeg_frame_payloads,
+    video_frame_features,
+)
+
+
+def _avi_fixture(n_frames=7, h=8, w=16):
+    frames = []
+    for f in range(n_frames):
+        img = np.zeros((h, w, 3), np.uint8)
+        base = (11 * f + 40) % 256
+        img[:] = (base, (base + 85) % 256, (base + 170) % 256)
+        frames.append(img)
+    return frames, encode_mjpeg_avi(frames, fps=5)
+
+
+def test_avi_container_walk_recovers_exact_jpeg_frames():
+    frames, avi = _avi_fixture()
+    payloads = mjpeg_frame_payloads(avi)
+    assert len(payloads) == 7
+    for f, p in enumerate(payloads):
+        assert p == encode_jpeg(frames[f], quant=1)  # byte-exact chunks
+        assert np.array_equal(decode_jpeg(p), _ycbcr_roundtrip(frames[f]))
+
+
+def test_avi_frame_sampling_stride_and_features():
+    _, avi = _avi_fixture()
+    out = video_frame_features(avi, 3)
+    assert [o[0] for o in out] == [0, 3, 6]
+    assert all(o[1] == 7 for o in out)
+    payloads = mjpeg_frame_payloads(avi)
+    assert out[1][2] == image_feature(payloads[3], "image")
+    assert len(video_frame_features(avi, 1)) == 7
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_features(avi, 0)
+
+
+def test_avi_rejects_non_avi_and_truncation():
+    _, avi = _avi_fixture(3)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        mjpeg_frame_payloads(b"RIFF\x04\x00\x00\x00WAVE")
+    for cut in (40, 100, len(avi) - 1):
+        with pytest.raises(ValueError, match="truncated"):
+            mjpeg_frame_payloads(avi[:cut])
+    with pytest.raises(ValueError, match="frame"):
+        encode_mjpeg_avi([])
+
+
+def test_extract_video_frames_real_path_through_spark_seam(spark):
+    from webtext_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frames,
+    )
+
+    frames5, avi5 = _avi_fixture(5)
+    frames8, avi8 = _avi_fixture(8)
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(avi5), 16, 8, "mjpeg", 5),
+            (1, "video", bytearray(avi8), 16, 8, "mjpeg", 99),  # lying metadata
+            (2, "image", bytearray(b"P6\n1 1\n255\nabc"), 1, 1, "ppm", 1),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = (
+        extract_video_frames(
+            media, every_n=4, decode_stub=False, decoder=video_frame_features
+        )
+        .orderBy("media_id", "frame_idx")
+        .collect()
+    )
+    # video 0: frames 0, 4; video 1: frames 0, 4; image row filtered out
+    assert [(r["media_id"], r["frame_idx"]) for r in got] == [
+        (0, 0), (0, 4), (1, 0), (1, 4),
+    ]
+    # real n_frames comes from the CONTAINER, not the metadata column
+    assert [r["n_frames"] for r in got] == [5, 5, 8, 8]
+    exp = image_feature(mjpeg_frame_payloads(avi5)[4], "image")
+    assert list(got[1]["feature"]) == pytest.approx(exp)
+
+
+def test_extract_video_frames_stub_path_and_validation(spark):
+    from webtext_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(b"fakebytes"), 4, 4, "fake", 7)], MEDIA_SCHEMA
+    )
+    got = extract_video_frames(media, every_n=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got] == [0, 3, 6]
+    assert all(r["n_frames"] == 7 for r in got)
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        extract_video_frames(media, decode_stub=False)
+    with pytest.raises(ValueError, match="every_n"):
+        extract_video_frames(media, every_n=0)

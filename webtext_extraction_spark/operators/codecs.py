@@ -882,6 +882,107 @@ def decode_jpeg(payload: bytes, return_quant: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# MJPEG video in an AVI (RIFF) container
+# ---------------------------------------------------------------------------
+#
+# Real VIDEO through the seam, dependency-free: Motion-JPEG is the one
+# mainstream video codec that is just a container walk plus the JPEG
+# decoder above — every frame is a complete baseline JPEG in a '00dc'
+# RIFF chunk.  Frame SAMPLING therefore never decodes unsampled
+# frames: the container walk is a cheap length-hop over chunk headers,
+# and entropy decode runs only for the frames a sampler asks for
+# (the property frame_sample_plan's every_n needs at scale).
+# Non-MJPEG video (H.264 etc.) genuinely needs ffmpeg and keeps the
+# documented raise at the multimodal seam.
+
+def encode_mjpeg_avi(frames, fps: int = 10, quant=1) -> bytes:
+    """Equal-dim (h, w, 3) uint8 frames → minimal MJPEG AVI: RIFF
+    'AVI ' with an avih/strh/strf header block (fccHandler 'MJPG')
+    and one '00dc' chunk per frame, each a complete baseline JPEG
+    (4:4:4, ``quant``).  Exists for fixtures and tests — the decoder
+    is the product."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        jpegs.append(encode_jpeg(f, quant=quant))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10, len(jpegs),
+        0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0,
+                                  len(jpegs), max_bytes, 0, -1)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def mjpeg_frame_payloads(payload: bytes) -> list[bytes]:
+    """Walk the RIFF container and return the per-frame JPEG payloads
+    WITHOUT decoding any of them — chunk headers carry lengths, so
+    this is O(#chunks) header hops, not O(pixels).  Accepts '00dc'
+    (compressed) and '00db' (uncompressed naming some muxers use)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI magic)")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = buf[off : off + 4]
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            body_start = off + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(buf[body_start : body_start + size])
+            off = body_start + size + (size % 2)
+
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("truncated AVI (RIFF size exceeds payload)")
+    walk(payload, 12, 8 + riff_size)
+    return frames
+
+
+def video_frame_features(payload: bytes, every_n: int) -> list[tuple]:
+    """REAL decoder for the video frame-sampling seam: every
+    ``every_n``-th MJPEG frame is JPEG-decoded and reduced to the same
+    FEATURE_DIM statistics ``image_feature`` emits; unsampled frames
+    are never entropy-decoded.  Returns
+    [(frame_idx, n_frames, [f0..f7]), ...]."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    jpegs = mjpeg_frame_payloads(payload)
+    out = []
+    for idx in range(0, len(jpegs), every_n):
+        out.append((idx, len(jpegs), image_feature(jpegs[idx], "image")))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # seam adapters
 # ---------------------------------------------------------------------------
 

@@ -65,6 +65,16 @@ FEATURE_SCHEMA = StructType(
 
 FEATURE_DIM = 8
 
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table.
@@ -212,6 +222,72 @@ def resize_media(
             )
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_video_frames(
+    df: DataFrame, every_n: int = 10, decode_stub: bool = True, decoder=None
+) -> DataFrame:
+    """REAL frame sampling over video payloads — frame_sample_plan's
+    decode half: every ``every_n``-th frame decoded and reduced to
+    FEATURE_DIM statistics, one output row per sampled frame.
+
+    ``decoder`` is the plug-in seam: a picklable callable
+    ``(payload: bytes, every_n: int) ->
+    [(frame_idx, n_frames, [f0..f7]), ...]`` shipped to executors in
+    the task closure.  ``operators.codecs.video_frame_features``
+    implements it dependency-free for MJPEG AVI — the container walk
+    is O(#chunks) header hops and ONLY sampled frames are
+    entropy-decoded, so ``every_n`` cuts decode cost proportionally
+    (the property the plan half's fan-out models).  Non-MJPEG codecs
+    (H.264, VP9, …) genuinely need ffmpeg: ``decode_stub=False`` with
+    no decoder raises.  The stub path derives deterministic fake
+    features from md5(payload ‖ ':' ‖ frame_idx) with
+    ``meta_duration_frames`` as the frame count — SQL-replayable like
+    ``_fake_feature``.
+
+    Real-path ``n_frames`` comes from the CONTAINER, not the metadata
+    column — a disagreement between the two is detectable downstream.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if decoder is None and not decode_stub:
+        raise NotImplementedError(
+            "real video decode requires a decoder callable — pass "
+            "decoder=operators.codecs.video_frame_features for MJPEG "
+            "AVI payloads (dependency-free); H.264/VP9/... need an "
+            "ffmpeg-backed callable (not available in this "
+            "environment), or run with decode_stub=True"
+        )
+    vids = df.filter(
+        (F.col("modality") == "video") & (F.col("meta_duration_frames") >= 1)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "n_frames": [],
+                "n_bytes": [], "feature": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta_duration_frames"]
+            ):
+                b = bytes(payload)
+                if decoder is not None:
+                    rows = decoder(b, every_n)
+                else:
+                    rows = [
+                        (idx, int(dur), _fake_feature(b + b":%d" % idx))
+                        for idx in range(0, int(dur), every_n)
+                    ]
+                for idx, nf, feats in rows:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(nf)
+                    out["n_bytes"].append(len(b))
+                    out["feature"].append(feats)
+            yield pd.DataFrame(out)
+
+    return vids.mapInPandas(run, FRAME_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
