@@ -538,3 +538,97 @@ def test_extract_video_frames_stub_path_and_validation(spark):
         extract_video_frames(media, decode_stub=False)
     with pytest.raises(ValueError, match="every_n"):
         extract_video_frames(media, every_n=0)
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM audio
+# ---------------------------------------------------------------------------
+
+import math
+
+from webtext_extraction_spark.operators.codecs import (
+    audio_feature,
+    decode_wav,
+    encode_wav,
+    media_feature,
+)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(1)
+    mono = rng.randint(-32768, 32768, 200).astype(np.int16)
+    s, r = decode_wav(encode_wav(mono, 8000))
+    assert r == 8000 and s.shape == (200, 1)
+    assert np.array_equal(s[:, 0], mono)
+    st = rng.randint(-32768, 32768, (150, 2)).astype(np.int16)
+    s, r = decode_wav(encode_wav(st, 44100))
+    assert r == 44100 and s.shape == (150, 2)
+    assert np.array_equal(s, st)
+
+
+def test_audio_feature_matches_numpy_oracle():
+    rng = np.random.RandomState(2)
+    mono = rng.randint(-32768, 32768, 300).astype(np.int16)
+    f = audio_feature(encode_wav(mono, 16000), "audio")
+    x = mono.astype(np.int64)
+    assert abs(f[0] - 300 / 16000 / 3600) < 1e-9
+    assert abs(f[1] - 16000 / 96000) < 1e-6
+    assert abs(f[2] - 1 / 8) < 1e-9
+    assert abs(f[3] - math.sqrt(float((x * x).sum()) / 300) / 32768) < 1e-6
+    assert abs(f[4] - np.abs(x).max() / 32768) < 1e-6
+    zc = ((mono[1:] >= 0) != (mono[:-1] >= 0)).sum() / 299
+    assert abs(f[5] - zc) < 1e-6
+    assert abs(f[7] - (mono != 0).mean()) < 1e-6
+    with pytest.raises(ValueError, match="modality"):
+        audio_feature(encode_wav(mono, 16000), "image")
+
+
+def test_wav_rejects_non_wav_and_malformed():
+    mono = np.zeros(10, np.int16)
+    payload = encode_wav(mono, 8000)
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"RIFF\x04\x00\x00\x00AVI ")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:30])
+    bad = bytearray(payload)
+    bad[20] = 3  # IEEE-float format tag
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros((0,), np.int16), 8000)
+    with pytest.raises(ValueError):
+        encode_wav(mono, 0)
+
+
+def test_media_feature_dispatches_by_modality():
+    wav = encode_wav(np.arange(-50, 50, dtype=np.int16), 8000)
+    ppm = encode_ppm(_img(2, 3))
+    assert media_feature(wav, "audio") == audio_feature(wav, "audio")
+    assert media_feature(ppm, "image") == image_feature(ppm, "image")
+    with pytest.raises(ValueError, match="modality"):
+        media_feature(wav, "video")
+
+
+def test_audio_through_spark_seam(spark):
+    from webtext_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    rng = np.random.RandomState(3)
+    payloads = {
+        i: encode_wav(rng.randint(-32768, 32768, 100 + i).astype(np.int16), 8000)
+        for i in range(4)
+    }
+    media = spark.createDataFrame(
+        [(i, "audio", bytearray(p), 0, 0, "pcm16", 0) for i, p in payloads.items()],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_media_features(
+        media, decode_stub=False, decoder=media_feature
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        exp = audio_feature(payloads[r["media_id"]], "audio")
+        assert list(r["feature"]) == pytest.approx(exp)
+        assert r["n_bytes"] == len(payloads[r["media_id"]])

@@ -983,6 +983,121 @@ def video_frame_features(payload: bytes, every_n: int) -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF) PCM audio
+# ---------------------------------------------------------------------------
+#
+# Real AUDIO through the seam, dependency-free: canonical WAV is a
+# flat RIFF walk (fmt + data chunks) over little-endian 16-bit PCM.
+# Compressed audio (MP3/AAC/Opus) genuinely needs external codecs and
+# keeps the documented raise — unsupported media routes to quarantine.
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """int16 samples ((frames,) mono or (frames, channels)
+    interleaved) → canonical 16-bit PCM WAV."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.size == 0:
+        raise ValueError(f"unsupported sample shape {arr.shape}")
+    if rate < 1:
+        raise ValueError(f"bad sample rate {rate}")
+    frames, ch = arr.shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + chunk(b"fmt ", fmt)
+        + chunk(b"data", arr.astype("<i2").tobytes())
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Canonical WAV → ((frames, channels) int16 array, sample_rate).
+    Only uncompressed 16-bit PCM (format tag 1) is supported —
+    anything else raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (RIFF/WAVE magic)")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("truncated WAV (RIFF size exceeds payload)")
+    off, end = 12, 8 + riff_size
+    fmt = data = None
+    while off + 8 <= end:
+        fourcc = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        if off + 8 + size > end:
+            raise ValueError("truncated WAV chunk")
+        body = payload[off + 8 : off + 8 + size]
+        if fourcc == b"fmt ":
+            fmt = body
+        elif fourcc == b"data":
+            data = body
+        off += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, _align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={tag}, bits={bits})"
+        )
+    if ch < 1:
+        raise ValueError("WAV with zero channels")
+    n = len(data) // 2
+    if n == 0 or n % ch:
+        raise ValueError("WAV data length does not fit its channel count")
+    return np.frombuffer(data, dtype="<i2", count=n).reshape(-1, ch), rate
+
+
+def audio_feature(payload: bytes, modality: str) -> list[float]:
+    """REAL audio decoder for the ``extract_media_features`` seam:
+    decodes 16-bit PCM WAV and emits FEATURE_DIM statistics —
+    [duration_s/3600, rate/96000, channels/8, rms/32768, peak/32768,
+    zero-crossing rate (channel 0, sign boundary at >= 0), normalized
+    DC offset, non-zero sample fraction], all clamped to [0, 1] and
+    float32-rounded.  Sums run in integer arithmetic so the DuckDB
+    oracle replays them exactly."""
+    if modality != "audio":
+        raise ValueError(f"audio_feature got modality {modality!r}")
+    samples, rate = decode_wav(payload)
+    frames, ch = samples.shape
+    n = samples.size
+    x = samples.astype(np.int64)
+    rms = float(np.sqrt(float((x * x).sum()) / n) / 32768.0)
+    peak = float(np.abs(x).max() / 32768.0)
+    ch0 = samples[:, 0]
+    zcr = (
+        float(((ch0[1:] >= 0) != (ch0[:-1] >= 0)).sum() / (frames - 1))
+        if frames > 1 else 0.0
+    )
+    dc = float((float(x.sum()) / n + 32768.0) / 65536.0)
+    fill = float((samples != 0).sum() / n)
+    feats = [
+        min(frames / rate / 3600.0, 1.0),
+        min(rate / 96000.0, 1.0),
+        min(ch / 8.0, 1.0),
+        rms, peak, zcr, dc, fill,
+    ]
+    return [float(np.float32(v)) for v in feats]
+
+
+def media_feature(payload: bytes, modality: str) -> list[float]:
+    """Combined decoder for the seam: dispatches image payloads to
+    :func:`image_feature` and audio payloads to :func:`audio_feature`
+    so ONE callable covers a mixed-modality table."""
+    if modality == "image":
+        return image_feature(payload, modality)
+    if modality == "audio":
+        return audio_feature(payload, modality)
+    raise ValueError(f"media_feature cannot decode modality {modality!r}")
+
+
+# ---------------------------------------------------------------------------
 # seam adapters
 # ---------------------------------------------------------------------------
 
