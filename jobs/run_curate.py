@@ -14,8 +14,10 @@ Gates compose in one DataFrame statement (each is the library
 operator the driver gate oracles): language/quality (text_profile),
 repetition (repetition_profile, Gopher dup_word_char_frac), benchmark
 decontamination (4-gram overlap vs --bench), near-dup cluster keepers
-(minhash-LSH + connected components) or exact-dup keepers, then
-optional PII scrubbing of the surviving text.  Every gate is optional
+(minhash-LSH + connected components), semantic cluster keepers
+(hashed-bow cosine — text-only, no embeddings table needed) or
+exact-dup keepers, then optional PII scrubbing of the surviving
+text.  Every gate is optional
 — skip a flag and its operator never enters the plan (Catalyst sees
 only what you asked for).
 """
@@ -49,12 +51,20 @@ def main(argv=None):
                              "model learned on the input corpus)")
     parser.add_argument("--bench", default=None,
                         help="benchmark parquet for decontamination (4-gram overlap)")
-    parser.add_argument("--dedup", choices=["none", "exact", "neardup", "substring"],
+    parser.add_argument("--dedup",
+                        choices=["none", "exact", "neardup", "semantic",
+                                 "substring"],
                         default="none",
                         help="exact md5 / minhash-LSH+CC keepers drop whole "
-                             "docs; 'substring' instead REWRITES text, "
-                             "stripping all-but-first occurrences of "
+                             "docs; 'semantic' clusters by hashed-bow cosine "
+                             "(--cosine/--embed-dim) — the text-only "
+                             "embedding path; 'substring' instead REWRITES "
+                             "text, stripping all-but-first occurrences of "
                              "duplicated --substring-n-gram spans (Lee et al.)")
+    parser.add_argument("--cosine", type=float, default=0.9,
+                        help="with --dedup semantic: near-dup cosine threshold")
+    parser.add_argument("--embed-dim", type=int, default=64,
+                        help="with --dedup semantic: hashed-bow dimensions")
     parser.add_argument("--substring-n", type=int, default=20)
     parser.add_argument("--jaccard", type=float, default=0.7)
     parser.add_argument("--prior-signatures", default=None,
@@ -171,6 +181,26 @@ def main(argv=None):
                 .filter(F.col("node") == F.col("component"))
                 .select(F.col("node").alias(idc))
             )
+        out = out.join(keepers, idc)
+    elif args.dedup == "semantic":
+        # text-only semantic dedup: hashed-bow vectors (no embeddings
+        # table needed) → LSH-bucketed cosine pairs → CC keepers —
+        # the sim_text_neardup composition as a production gate
+        from webtext_extraction_spark.operators import similarity
+
+        emb = similarity.hashed_bow_embedding(
+            docs, txt, idc, dim=args.embed_dim
+        )
+        pairs = similarity.embedding_near_duplicates(
+            emb, id_col=idc, vec_col="embedding",
+            threshold=args.cosine, dim=args.embed_dim,
+        )
+        nodes = docs.select(F.col(idc).alias("node"))
+        keepers = (
+            dedup.connected_components(pairs, nodes, check_every=2)
+            .filter(F.col("node") == F.col("component"))
+            .select(F.col("node").alias(idc))
+        )
         out = out.join(keepers, idc)
 
     if args.scrub_pii:

@@ -128,3 +128,36 @@ def test_run_curate_incremental_neardup_two_runs(spark, tmp_path, monkeypatch):
             ["--input", in2, "--output", out2, "--dedup", "exact",
              "--prior-signatures", sigs1]
         )
+
+
+def test_run_curate_semantic_dedup_keeps_cluster_min(spark, tmp_path, monkeypatch):
+    """--dedup semantic: hashed-bow cosine clusters (text-only — no
+    embeddings table) keep only the min-id doc per cluster."""
+    from jobs import run_curate
+
+    rows = []
+    for i in range(12):
+        if i in (3, 8):  # word-permutations of doc 1 -> identical bow vector
+            rows.append((i, "alpha beta gamma delta epsilon zeta"))
+        elif i == 1:
+            rows.append((i, "zeta epsilon delta gamma beta alpha"))
+        else:
+            rows.append((i, f"totally unrelated content block number {i} with distinct words{i}"))
+    inp = str(tmp_path / "docs_sem")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    out = str(tmp_path / "curated_sem")
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    run_curate.main(
+        [
+            "--input", inp,
+            "--output", out,
+            "--dedup", "semantic",
+            "--cosine", "0.99",
+            "--embed-dim", "32",
+        ]
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # bag-of-words is order-blind: docs 1, 3, 8 share one vector ->
+    # one cluster -> min id 1 survives
+    assert 1 in kept and 3 not in kept and 8 not in kept
+    assert {0, 2, 4, 5, 6, 7, 9, 10, 11} <= kept
