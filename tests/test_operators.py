@@ -1989,6 +1989,51 @@ def test_hashed_bow_embedding_python_replay(spark):
         similarity.hashed_bow_embedding(df, "text", "doc_id", dim=0)
 
 
+def test_hll_cardinality_python_replay_and_accuracy(spark):
+    """Exact python replay of the portable HLL rule (md5 bucket, bin()
+    leading zeros, integer harmonic sum, shared-literal division,
+    linear-counting branch), plus accuracy within the 1.04/sqrt(m)
+    regime and NULL exclusion."""
+
+    def py_hll(values, p=8):
+        m = 1 << p
+        r = 60 - p + 1
+        alpha = 0.7213 / (1 + 1.079 / m)
+        regs = [0] * m
+        for v in values:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            w = h >> p
+            rho = r - len(bin(w)[2:]) if w else r
+            b = h % m
+            regs[b] = max(regs[b], rho)
+        s = sum(1 << (r - M) for M in regs)
+        zeros = regs.count(0)
+        e = alpha * m * m * float(1 << r) / float(s)
+        if e <= 2.5 * m and zeros > 0:
+            e = float(m) * math.log(float(m) / zeros)
+        return round(e, 6)
+
+    rows = [(i % 2, f"value-{i % 400}") for i in range(3000)] + [(0, None)]
+    df = spark.createDataFrame(rows, ["src", "v"])
+    got = {
+        r["src"]: r["hll_estimate"]
+        for r in textstats.hll_cardinality(df, "v", ["src"], p=8).collect()
+    }
+    for s in (0, 1):
+        vals = {f"value-{i % 400}" for i in range(3000) if i % 2 == s}
+        assert got[s] == pytest.approx(py_hll(vals), abs=1e-9)  # bit replay
+        assert abs(got[s] - len(vals)) / len(vals) < 0.15  # ~2σ at p=8
+    # linear-counting branch on a tiny group
+    tiny = spark.createDataFrame([(0, "a"), (0, "b"), (0, "a")], ["src", "v"])
+    t = textstats.hll_cardinality(tiny, "v", ["src"]).collect()[0]["hll_estimate"]
+    assert t == pytest.approx(py_hll({"a", "b"}), abs=1e-9)
+    with pytest.raises(ValueError, match="p must"):
+        textstats.hll_cardinality(df, "v", ["src"], p=2)
+    # ungrouped: one global row
+    glob = textstats.hll_cardinality(df, "v").collect()
+    assert len(glob) == 1
+
+
 def test_corpus_diff_all_statuses(spark):
     old = spark.createDataFrame(
         [(0, "same"), (1, "will change"), (2, "will vanish"), (3, None)],

@@ -688,6 +688,81 @@ def global_percentiles(
     )
 
 
+def hll_alpha_m2_2r(p: int = 8) -> float:
+    """α·m²·2^R for the portable HLL at precision p — ONE module-level
+    source for the constant so the Spark plan and any SQL oracle
+    inline the byte-identical double literal."""
+    m = 1 << p
+    r = 60 - p + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return alpha * (m * m) * float(1 << r)
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """PORTABLE HyperLogLog (Flajolet et al. 2007) distinct-count
+    estimate per group — the cardinality sketch a 100 TB corpus report
+    runs instead of count(DISTINCT): registers are mergeable, the
+    shuffle carries ≤ 2^p small ints per group, and no row set is ever
+    materialized.
+
+    Spark's own ``approx_count_distinct`` is a black-box HLL++ no
+    other engine reproduces; this one is built from portable pieces so
+    the DuckDB oracle replays it BIT-EXACTLY: md5-based
+    ``portable_hash64`` (60 bits), bucket = low p bits, rho = leading
+    zeros of the remaining W = 60-p bits via ``length(bin(w))`` (both
+    engines' ``bin`` drops leading zeros), register = max rho, and the
+    harmonic denominator stays in INTEGER arithmetic —
+    S = Σ 2^(R - M_j) as int64 (R = W+1; max S = m·2^R < 2^63) — so
+    the estimate is ONE literal division α·m²·2^R / S.  The
+    small-range linear-counting branch (E ≤ 2.5m with empty buckets)
+    is the only libm call (ln), absorbed by round 6.
+
+    NULL values are excluded (count(DISTINCT) semantics); a group with
+    no non-null values yields no row.  Standard error ≈ 1.04/√m
+    (~6.5% at the default p=8 — raise p for tighter bounds; each +2
+    quarters the variance and doubles the register shuffle).
+    """
+    from ..functions.text import portable_hash64
+
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in 4..14, got {p}")
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    r = 60 - p + 1
+    alpha_m2_2r = hll_alpha_m2_2r(p)
+
+    h = portable_hash64(F.col(value_col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(r)).otherwise(
+        F.lit(r) - F.length(F.bin(w))
+    )
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, (h % m).alias("_bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        # python-API shiftleft needs a literal shift; the SQL form
+        # accepts a column expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {r} - _M)")).alias("_sp"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    s = F.col("_sp") + (F.lit(m) - F.col("_np")) * F.lit(1 << r).cast("long")
+    zeros = (F.lit(m) - F.col("_np")).cast("double")
+    e_raw = F.lit(alpha_m2_2r) / s.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("hll_estimate"))
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
     out = token_counts(df, text_col)
