@@ -2034,6 +2034,56 @@ def test_hll_cardinality_python_replay_and_accuracy(spark):
     assert len(glob) == 1
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    """Smoothed-idf TF-IDF against a hand-derived expectation: a term
+    in every doc scores idf=1 (pure tf); a rarer term outranks it."""
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "banana shared shared"),
+            (2, "cherry shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r
+        for r in textstats.tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    idf = lambda dft: math.log((1 + 3) / (1 + dft)) + 1.0
+    # doc 0: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2; shared idf=1
+    assert got[(0, 1)]["term"] == "apple"
+    assert got[(0, 1)]["score"] == pytest.approx(round(2 * idf(1), 6))
+    assert got[(0, 2)]["term"] == "banana"
+    # doc 1: shared tf=2 beats banana tf=1 only if 2*1.0 > idf(2)
+    top1 = got[(1, 1)]
+    assert top1["term"] == ("shared" if 2 * idf(3) > idf(2) else "banana")
+    # doc 2: cherry (df=1) outranks shared (idf exactly 1.0)
+    assert got[(2, 1)]["term"] == "cherry"
+    assert got[(2, 2)]["score"] == pytest.approx(round(idf(3), 6))
+    with pytest.raises(ValueError, match="k must"):
+        textstats.tfidf_top_terms(df, "doc_id", "text", k=0)
+
+
+def test_inverted_index_postings_numeric_order(spark):
+    df = spark.createDataFrame(
+        [(2, "zz common"), (10, "common zz"), (1, "common only here")],
+        ["doc_id", "text"],
+    )
+    got = {r["term"]: r for r in textstats.inverted_index(df, "doc_id", "text").collect()}
+    assert got["common"]["df_t"] == 3
+    # numeric order, not string order ("10" would sort before "2")
+    assert got["common"]["postings"] == "1,2,10"
+    assert got["zz"]["postings"] == "2,10"
+    # min_df bounds the tail
+    filtered = {
+        r["term"]
+        for r in textstats.inverted_index(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert filtered == {"common"}
+    with pytest.raises(ValueError, match="min_df"):
+        textstats.inverted_index(df, "doc_id", "text", min_df=0)
+
+
 def test_corpus_diff_all_statuses(spark):
     old = spark.createDataFrame(
         [(0, "same"), (1, "will change"), (2, "will vanish"), (3, None)],

@@ -688,6 +688,97 @@ def global_percentiles(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (sklearn's smoothed idf:
+    ln((1+N)/(1+df)) + 1) — the classic relevance/keyword-extraction
+    scoring a retrieval or labeling pipeline runs corpus-wide.
+
+    Cross-engine determinism: ranking uses the ROUNDED score (6 dp)
+    with the term string as tie-break, so the window order is exactly
+    the values the oracle hashes — a sub-ULP ln() difference between
+    libm and the JVM cannot flip a rank without first flipping a
+    hashed value.  N (docs with ≥1 token) rides the plan as a
+    broadcast 1-row aggregate, not a driver collect.
+
+    Shape at scale: tokenize → tf groupBy(id, term) → df groupBy(term)
+    → term-keyed join (skewed hot terms are AQE skew-join territory —
+    the tf side carries (id, term, count) ints only) → one id-keyed
+    window for top-k.  Whitespace tokens, case preserved (matching
+    words()); zero-token docs yield no rows.
+    """
+    from ..functions.text import words
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_row = tok.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1 + F.col("n_docs")).cast("double")
+                          / (1 + F.col("df_t")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "score", "rank")
+    )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Term → posting-list index over a document corpus: one row per
+    term with its document frequency and the sorted comma-joined doc
+    ids — the retrieval-side artifact next to the ANN stack.
+
+    One tokenize + per-doc distinct + ONE term shuffle; posting
+    strings are built per term AFTER aggregation, so the shuffle
+    carries (term, id) pairs, never text.  At real scale posting
+    lists are the known heavy column (delta-encoded parquet in
+    practice) — ``min_df`` also bounds the long tail of hapax terms.
+    """
+    from ..functions.text import words
+
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    pairs = df.select(
+        F.col(id_col), F.explode(F.array_distinct(words(F.col(text_col)))).alias("term")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_t"),
+            # sort NUMERICALLY before casting — a string sort would
+            # order "10" before "2" and diverge from the oracle's
+            # ORDER BY doc_id
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df_t") >= min_df)
+    )
+
+
 def hll_alpha_m2_2r(p: int = 8) -> float:
     """α·m²·2^R for the portable HLL at precision p — ONE module-level
     source for the constant so the Spark plan and any SQL oracle
