@@ -542,3 +542,33 @@ def test_corpus_diff_projects_hashes_before_join(spark, tmp_path):
     plan = _plan(corpus_diff(old, new, "doc_id", "text"))
     for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
         assert "text#" not in m.group(0)
+
+
+def test_hll_tfidf_inverted_index_no_python_no_text_shuffle(spark, tmp_path):
+    """The three r5 corpus-statistics operators stay pure-JVM (no
+    Python nodes) and never put the text column into an Exchange —
+    only keys/terms/ints ride the shuffles."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.textstats import (
+        hll_cardinality,
+        inverted_index,
+        tfidf_top_terms,
+    )
+
+    p = str(tmp_path / "docs_stats")
+    spark.createDataFrame(
+        [(i, "word%d common text here" % i, "s%d" % (i % 2)) for i in range(20)],
+        ["doc_id", "text", "source"],
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    for frame in (
+        hll_cardinality(docs, "text", ["source"]),
+        tfidf_top_terms(docs, "doc_id", "text", k=2),
+        inverted_index(docs, "doc_id", "text"),
+    ):
+        plan = _plan(frame)
+        assert _node_ids(plan, "ArrowEvalPython") == 0
+        assert _node_ids(plan, "BatchEvalPython") == 0
+        for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+            assert "text#" not in m.group(0)
