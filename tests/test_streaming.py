@@ -415,3 +415,68 @@ def test_stream_session_rollup_restart_no_duplicates(spark, tmp_path):
     ]
     assert rows.count((1, sec(0), 2)) == 1  # no duplicate emission
     assert (2, sec(6_000), 2) in rows
+
+
+def test_streaming_hll_matches_batch_bit_for_bit(spark, tmp_path):
+    """After draining all micro-batches, the streaming HLL estimate
+    per key equals textstats.hll_cardinality on the same rows EXACTLY
+    (same portable arithmetic), registers accumulate across batches,
+    and a restart with the same checkpoint continues the state."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from webtext_extraction_spark.operators.textstats import hll_cardinality
+    from webtext_extraction_spark.streaming.stream import stream_hll_cardinality
+
+    schema = StructType(
+        [
+            StructField("src", StringType()),
+            StructField("v", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    inp = str(tmp_path / "hll_in")
+    out = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def mk(lo, hi):
+        rows = [(["a", "b"][i % 2], f"val-{i % 97}", i) for i in range(lo, hi)]
+        rows.append(("a", None, -1))  # NULLs excluded, like the batch op
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(inp)
+
+    mk(0, 400)
+    mk(400, 900)
+    q = stream_hll_cardinality(spark, inp, out, ckpt, schema, "src", "v")
+    q.awaitTermination(300)
+    # last emitted row per key is the live estimate
+    rows = read_stream_output(spark, out).collect()
+    finals = {}
+    for r in sorted(rows, key=lambda r: r["n_registers_hit"]):
+        finals[r["group_key"]] = r["hll_estimate"]
+    batch = {
+        r["src"]: r["hll_estimate"]
+        for r in hll_cardinality(
+            spark.read.parquet(inp), "v", ["src"]
+        ).collect()
+    }
+    assert finals == batch  # EXACT equality, not approx
+
+    # restart: same checkpoint, a third file with NEW values only for a
+    mk_rows = [("a", f"extra-{i}", 1000 + i) for i in range(50)]
+    spark.createDataFrame(mk_rows, schema).write.mode("append").parquet(inp)
+    q2 = stream_hll_cardinality(spark, inp, out, ckpt, schema, "src", "v")
+    q2.awaitTermination(300)
+    rows2 = read_stream_output(spark, out).collect()
+    finals2 = {}
+    for r in sorted(rows2, key=lambda r: r["n_registers_hit"]):
+        finals2[r["group_key"]] = r["hll_estimate"]
+    batch2 = {
+        r["src"]: r["hll_estimate"]
+        for r in hll_cardinality(
+            spark.read.parquet(inp), "v", ["src"]
+        ).collect()
+    }
+    assert finals2 == batch2
+    assert finals2["a"] != finals["a"]  # new values moved the estimate
+    assert finals2["b"] == finals["b"]  # untouched key unchanged
