@@ -122,10 +122,12 @@ def extract_media_features(
     if decoder is None and not decode_stub:
         raise NotImplementedError(
             "real media decode requires a decoder callable — pass "
-            "decoder=operators.codecs.image_feature for PPM/PGM/BMP "
-            "payloads (dependency-free), a PIL/ffmpeg-backed callable "
-            "for compressed formats (not available in this "
-            "environment), or run with decode_stub=True"
+            "decoder=operators.codecs.media_feature for image "
+            "(PPM/PGM/BMP/PNG/baseline-JPEG) and audio (16-bit PCM "
+            "WAV) payloads (dependency-free), a PIL/ffmpeg-backed "
+            "callable for the remaining compressed formats (not "
+            "available in this environment), or run with "
+            "decode_stub=True"
         )
 
     def run(batches):
@@ -183,10 +185,11 @@ def resize_media(
     if resizer is None and not decode_stub:
         raise NotImplementedError(
             "real media resize requires a resizer callable — pass "
-            "resizer=operators.codecs.image_resizer for PPM/PGM/BMP "
-            "payloads (dependency-free), a PIL/ffmpeg-backed callable "
-            "for compressed formats (not available in this "
-            "environment), or run with decode_stub=True"
+            "resizer=operators.codecs.image_resizer for "
+            "PPM/PGM/BMP/PNG/baseline-JPEG payloads (dependency-free), "
+            "a PIL/ffmpeg-backed callable for the remaining compressed "
+            "formats (not available in this environment), or run with "
+            "decode_stub=True"
         )
 
     def _stub_resize(payload: bytes, tw: int, th: int) -> bytes:
