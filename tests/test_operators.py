@@ -2034,6 +2034,55 @@ def test_hll_cardinality_python_replay_and_accuracy(spark):
     assert len(glob) == 1
 
 
+def test_cms_sketch_replay_merge_and_one_sided_error(spark):
+    """Count-Min: cells and point estimates replay the md5 rule
+    exactly; estimates never undercount; merged half-sketches equal
+    the whole-corpus sketch cell-for-cell."""
+
+    def py_cells(values, depth=4, width=128):
+        cells = {}
+        for v in values:
+            if v is None:
+                continue
+            for i in range(depth):
+                h = int(hashlib.md5(f"{v}#{i}".encode()).hexdigest()[:15], 16)
+                cells[(i, h % width)] = cells.get((i, h % width), 0) + 1
+        return cells
+
+    vals = ["hot"] * 60 + ["warm"] * 20 + [f"cold-{i}" for i in range(100)] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = textstats.cms_sketch(df, "v", depth=4, width=128)
+    got_cells = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got_cells == py_cells(vals)
+
+    terms = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold-5",), ("never-seen",)], ["t"]
+    )
+    est = {
+        r["term"]: r["cms_estimate"]
+        for r in textstats.cms_query(sk, terms, "t", depth=4, width=128).collect()
+    }
+    true = {"hot": 60, "warm": 20, "cold-5": 1, "never-seen": 0}
+    for t, c in true.items():
+        assert est[t] >= c  # one-sided: never undercounts
+        assert est[t] <= c + 180 * math.e / 128 + 1  # eps*N slack
+
+    halves = [vals[:90], vals[90:]]
+    merged = textstats.cms_merge(
+        *[
+            textstats.cms_sketch(
+                spark.createDataFrame([(v,) for v in h], ["v"]), "v", 4, 128
+            )
+            for h in halves
+        ]
+    )
+    assert {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()} == got_cells
+    with pytest.raises(ValueError, match="depth"):
+        textstats.cms_sketch(df, "v", depth=0)
+    with pytest.raises(ValueError, match="sketch"):
+        textstats.cms_merge()
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     """Smoothed-idf TF-IDF against a hand-derived expectation: a term
     in every doc scores idf=1 (pure tf); a rarer term outranks it."""

@@ -779,6 +779,94 @@ def inverted_index(
     )
 
 
+def cms_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a value
+    column — the bounded-memory frequency table a 100 TB pipeline
+    keeps when the token/URL/domain cardinality is too large for an
+    exact count table: depth×width int64 counters, one-sided error
+    (estimate ≥ true, ≤ true + εN with ε = e/width at δ = e^-depth).
+
+    The sketch is the ARTIFACT: a (row, bucket, cnt) DataFrame of at
+    most depth·width rows, persistable like ``minhash_signatures``
+    and MERGEABLE by plain per-cell summation (union two sketches →
+    groupBy(row, bucket) sum — see ``cms_merge``), so per-crawl
+    sketches accrete without re-reading text.  Row i's hash is
+    md5(value ‖ '#' ‖ i) through the portable 60-bit slice, so DuckDB
+    (and ``cms_query``) replay every cell bit-exactly — the whole
+    operator is INTEGER arithmetic, no float caveat anywhere.
+
+    NULL values are excluded.  Shuffle carries (row, bucket, partial
+    count) ints via map-side combine; text never shuffles."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("_v"), F.lit("#"), F.col("row"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        rows.select("row", (h % width).cast("int").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME depth/width by
+    per-cell summation — the accrete-per-crawl path."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate lookup: for each term, min over the sketch's
+    depth rows of its hashed cell — the one-sided frequency estimate
+    (≥ true count, never under).  The probe side re-derives the same
+    md5-row hashes; the sketch (≤ depth·width rows by construction)
+    is BROADCAST to the join, and a missing cell counts 0.  Output:
+    (term, cms_estimate) — all integer, bit-exact cross-engine."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
+    probes = (
+        terms.select(F.col(term_col).cast("string").alias("term"))
+        .withColumn("row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .withColumn("bucket", _cms_probe_hash("term", width))
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy("term").agg(F.min("cnt").alias("cms_estimate"))
+
+
+def _cms_probe_hash(term_col: str, width: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(term_col), F.lit("#"), F.col("row"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    ).cast("int")
+
+
 def hll_alpha_m2_2r(p: int = 8) -> float:
     """α·m²·2^R for the portable HLL at precision p — ONE module-level
     source for the constant so the Spark plan and any SQL oracle
