@@ -551,6 +551,7 @@ def test_hll_tfidf_inverted_index_no_python_no_text_shuffle(spark, tmp_path):
     import re as _re
 
     from webtext_extraction_spark.operators.textstats import (
+        cms_sketch,
         hll_cardinality,
         inverted_index,
         tfidf_top_terms,
@@ -566,6 +567,7 @@ def test_hll_tfidf_inverted_index_no_python_no_text_shuffle(spark, tmp_path):
         hll_cardinality(docs, "text", ["source"]),
         tfidf_top_terms(docs, "doc_id", "text", k=2),
         inverted_index(docs, "doc_id", "text"),
+        cms_sketch(docs, "text", depth=4, width=64),
     ):
         plan = _plan(frame)
         assert _node_ids(plan, "ArrowEvalPython") == 0
