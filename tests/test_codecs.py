@@ -632,3 +632,100 @@ def test_audio_through_spark_seam(spark):
         exp = audio_feature(payloads[r["media_id"]], "audio")
         assert list(r["feature"]) == pytest.approx(exp)
         assert r["n_bytes"] == len(payloads[r["media_id"]])
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_pixels_exactly():
+    """Progressive transmission reorders the same quantized
+    coefficients, so for ANY content/subsampling/restart/quantizer the
+    decoded pixels must equal the baseline encoding bit-for-bit —
+    the invariant that catches most scan-logic bugs."""
+    rng = np.random.RandomState(7)
+    cases = [
+        ((11, 13, 3), "444", 0, 1),
+        ((24, 31, 3), "444", 0, 1),
+        ((17, 19), "444", 0, 1),
+        ((16, 24, 3), "420", 0, 1),
+        ((9, 15, 3), "420", 2, 1),
+        ((32, 16), "444", 1, 1),
+        ((40, 56, 3), "444", 0, 5),
+        ((40, 56, 3), "420", 3, 16),
+    ]
+    for shape, sub, dri, q in cases:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        kw = dict(quant=q, restart_interval=dri)
+        if len(shape) == 3:
+            kw["subsampling"] = sub
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(base, prog), (shape, sub, dri, q)
+
+
+def test_progressive_constant_color_stays_bit_exact():
+    img = np.zeros((11, 13, 3), np.uint8)
+    img[:] = (13, 200, 77)
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quant=1, subsampling=sub, progressive=True))
+        assert np.array_equal(dec, _ycbcr_roundtrip(img)), sub
+
+
+def test_progressive_hand_built_bitstream_with_multiblock_eobrun():
+    """A 16x8 gray SOF2 file assembled byte-by-hand from T.81 G's
+    rules: DC first (Al=1) + DC refine, AC first whose EOB RUN OF 2
+    spans both blocks (a shape the bundled encoder never emits), and
+    an AC refinement pass with a correction bit inside the EOB sweep.
+    Expected pixels derive from the raw cosine formula in this test,
+    independent of the decoder's IDCT machinery."""
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes((1, 0x11, 0))
+    # DC: '00'->cat 0, '01'->cat 4; AC: '00'->0x01, '01'->0x10, '10'->EOB
+    dht_dc = bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 4])
+    dht_ac = bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x01, 0x10, 0x00])
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+
+    payload = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof)
+        + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+        # DC first Al=1: blk1 diff 9 ('01'+'1001'), blk2 diff 0 ('00')
+        + sos(0, 0, 0, 1) + bytes([0b01100100])
+        # DC refine: blk1 bit 1, blk2 bit 0 -> DC = 19, 18
+        + sos(0, 0, 1, 0) + bytes([0b10111111])
+        # AC first Al=1: blk1 k=1 coeff +1<<1, then EOBRUN=2 covering
+        # blk1's rest AND all of blk2: '00'+'1'+'01'+'0', pad '11'
+        + sos(1, 63, 0, 1) + bytes([0b00101011])
+        # AC refine: blk1 EOB + correction bit 1 (2 -> 3), blk2 EOB
+        + sos(1, 63, 1, 0) + bytes([0b10110111])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 16)
+
+    # independent expectation from the raw cosine formula
+    x = np.arange(8)
+    cos1 = np.cos((2 * x + 1) * np.pi / 16.0)
+    # S(u=0, v=1): s(x,y) = (1/4) C(0)C(1) S cos(0) cos((2y+1)pi/16)
+    blk1 = 19 / 8.0 + (1 / 4.0) * (1 / np.sqrt(2)) * 1.0 * 3 * cos1[None, :] * np.ones((8, 1))
+    exp1 = np.clip(np.floor(blk1 + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(out[:, :8], exp1)
+    assert np.all(out[:, 8:] == np.floor(18 / 8.0 + 128.0 + 0.5))
+
+
+def test_progressive_through_image_seam():
+    img = np.zeros((8, 16, 3), np.uint8)
+    img[:] = (40, 90, 200)
+    payload = encode_jpeg(img, quant=1, progressive=True)
+    feats = image_feature(payload, "image")
+    assert feats == image_feature(encode_jpeg(img, quant=1), "image")
+    out = image_resizer(payload, 8, 4)
+    assert out[:2] == b"\xff\xd8"
+    assert decode_jpeg(out).shape == (4, 8, 3)

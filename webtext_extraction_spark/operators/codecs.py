@@ -320,16 +320,23 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # JPEG (baseline sequential DCT, 8-bit, grayscale / YCbCr)
 # ---------------------------------------------------------------------------
 #
-# The second COMPRESSED format through the seam — baseline JPEG is
-# fully specified by ITU-T T.81 and needs no external library: marker
-# parse (struct), canonical Huffman entropy coding (pure python bit
-# loop), and the 8x8 DCT as one orthogonal matrix product (numpy
-# einsum over all blocks at once).  Scope mirrors what a web corpus
-# actually carries: baseline sequential (SOF0/SOF1), 8-bit samples,
-# 1-component grayscale or 3-component YCbCr with sampling factors in
-# {1, 2}, restart intervals, multi-scan NOT supported — progressive
-# (SOF2), arithmetic coding, hierarchical, and 12-bit all raise, so
-# unsupported media routes to a quarantine status, never a guess.
+# The second COMPRESSED format through the seam — JPEG is fully
+# specified by ITU-T T.81 and needs no external library: marker parse
+# (struct), canonical Huffman entropy coding (pure python bit loop),
+# and the 8x8 DCT as one orthogonal matrix product (numpy einsum over
+# all blocks at once).  Scope mirrors what a web corpus actually
+# carries: baseline sequential (SOF0/SOF1) AND (r5) progressive
+# (SOF2) with spectral selection + successive approximation — 8-bit
+# samples, grayscale or YCbCr with sampling factors in {1, 2},
+# restart intervals, multi-scan files.  Arithmetic coding,
+# hierarchical, lossless, and 12-bit raise, so unsupported media
+# routes to a quarantine status, never a guess.  The progressive
+# correctness anchor: progressive transmission REORDERS the same
+# quantized coefficients, so decode must equal the baseline encoding
+# of the same data pixel-for-pixel (pinned in tests across
+# content/subsampling/restart/quantizer), plus a hand-built SOF2
+# bitstream with a multi-block EOB run checked against the raw
+# cosine formula.
 #
 # The bundled encoder exists for test fixtures and the resizer
 # re-encode; it emits baseline 4:4:4 / 4:2:0 / grayscale with the
@@ -349,7 +356,6 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # both the codec and the oracle side.
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -527,12 +533,18 @@ def encode_jpeg(
     quant=1,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF JPEG.
+    """uint8 (h, w) gray or (h, w, 3) RGB → JFIF JPEG.
     ``quant``: scalar / (8, 8) array / (luma, chroma) pair, natural
     (row-major) order, values 1..255 — the default flat 1 is the
     near-lossless fixture regime.  ``subsampling``: '444' or '420'
-    (color only).  ``restart_interval``: DRI in MCUs (0 = none)."""
+    (color only).  ``restart_interval``: DRI in MCUs (0 = none).
+    ``progressive`` emits SOF2 with a successive-approximation scan
+    script (DC first/refine interleaved, per-component AC first/
+    refine over 1..63) — progressive transmission REORDERS the same
+    quantized coefficients, so it must decode to pixels identical to
+    the baseline encoding (the invariant the tests pin)."""
     if arr.ndim == 2:
         gray = True
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -593,49 +605,125 @@ def encode_jpeg(
         qz = np.round(coef / q).astype(np.int64)
         comp_blocks.append((qz, hs, vs, nbx))
 
-    bw = _BitWriter()
-    preds = [0] * len(comps)
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            n_mcu = my * mcux + mx
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                bw.raw_marker(0xD0 + rst)
-                rst = (rst + 1) % 8
-                preds = [0] * len(comps)
-            for ci, (qz, hs, vs, _) in enumerate(comp_blocks):
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = qz[my * vs + by, mx * hs + bx]
-                        zz = blk.reshape(64)[_ZIGZAG]
-                        diff = int(zz[0]) - preds[ci]
-                        preds[ci] = int(zz[0])
-                        cat, bits = _mag_bits(diff)
-                        code, ln = enc_dc[cat]
-                        bw.write(code, ln)
-                        if cat:
-                            bw.write(bits, cat)
-                        run = 0
-                        nz = np.nonzero(zz[1:])[0]
-                        last = nz[-1] + 1 if nz.size else 0
-                        for k in range(1, last + 1):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, ln = enc_ac[0xF0]  # ZRL
-                                bw.write(code, ln)
-                                run -= 16
-                            cat, bits = _mag_bits(v)
-                            code, ln = enc_ac[(run << 4) | cat]
+    def emit_sequential():
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                n_mcu = my * mcux + mx
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.raw_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(comps)
+                for ci, (qz, hs, vs, _) in enumerate(comp_blocks):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = qz[my * vs + by, mx * hs + bx]
+                            zz = blk.reshape(64)[_ZIGZAG]
+                            diff = int(zz[0]) - preds[ci]
+                            preds[ci] = int(zz[0])
+                            cat, bits = _mag_bits(diff)
+                            code, ln = enc_dc[cat]
                             bw.write(code, ln)
-                            bw.write(bits, cat)
+                            if cat:
+                                bw.write(bits, cat)
                             run = 0
-                        if last < 63:
-                            code, ln = enc_ac[0x00]  # EOB
-                            bw.write(code, ln)
-    bw.pad_to_byte()
+                            nz = np.nonzero(zz[1:])[0]
+                            last = nz[-1] + 1 if nz.size else 0
+                            for k in range(1, last + 1):
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    code, ln = enc_ac[0xF0]  # ZRL
+                                    bw.write(code, ln)
+                                    run -= 16
+                                cat, bits = _mag_bits(v)
+                                code, ln = enc_ac[(run << 4) | cat]
+                                bw.write(code, ln)
+                                bw.write(bits, cat)
+                                run = 0
+                            if last < 63:
+                                code, ln = enc_ac[0x00]  # EOB
+                                bw.write(code, ln)
+        bw.pad_to_byte()
+        sos = bytes([len(comps)])
+        for ci in range(len(comps)):
+            sos += bytes((ci + 1, 0x00))  # DC table 0, AC table 0
+        sos += bytes((0, 63, 0))
+        return [(sos, bw.out)]
+
+    def emit_progressive():
+        """Successive-approximation scan script (T.81 G): interleaved
+        DC first (Al=1) + DC refine, then per component AC first
+        (1..63, Al=1) + AC refine.  EOB runs are emitted per block
+        (run of 1) — legal, simpler, and the decoder handles the
+        general multi-block runs regardless."""
+        chunks = []
+        zz_of = [
+            qz.reshape(qz.shape[0], qz.shape[1], 64)[:, :, _ZIGZAG]
+            for qz, _, _, _ in comp_blocks
+        ]
+        for ah, al in ((0, 1), (1, 0)):  # DC first, then refine
+            bw = _BitWriter()
+            preds = [0] * len(comps)
+            rst = 0
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                        bw.raw_marker(0xD0 + rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * len(comps)
+                    for ci, (_, hs, vs, _) in enumerate(comp_blocks):
+                        for by in range(vs):
+                            for bx in range(hs):
+                                v0 = int(zz_of[ci][my * vs + by, mx * hs + bx][0])
+                                if ah == 0:
+                                    vv = v0 >> al  # arithmetic shift per spec
+                                    diff = vv - preds[ci]
+                                    preds[ci] = vv
+                                    cat, bits = _mag_bits(diff)
+                                    code, ln = enc_dc[cat]
+                                    bw.write(code, ln)
+                                    if cat:
+                                        bw.write(bits, cat)
+                                else:
+                                    bw.write((v0 >> al) & 1, 1)
+                    n_mcu += 1
+            bw.pad_to_byte()
+            sos = bytes([len(comps)])
+            for ci in range(len(comps)):
+                sos += bytes((ci + 1, 0x00))
+            sos += bytes((0, 0, (ah << 4) | al))
+            chunks.append((sos, bw.out))
+        for ci, (qz, hs, vs, _) in enumerate(comp_blocks):
+            cw = -(-w * hs // hmax)
+            ch2 = -(-h * vs // vmax)
+            bh_i, bw_i = -(-ch2 // 8), -(-cw // 8)
+            for ah, al in ((0, 1), (1, 0)):  # AC first, then refine
+                bw2 = _BitWriter()
+                rst = 0
+                n = 0
+                for by in range(bh_i):
+                    for bx in range(bw_i):
+                        if restart_interval and n and n % restart_interval == 0:
+                            bw2.raw_marker(0xD0 + rst)
+                            rst = (rst + 1) % 8
+                        n += 1
+                        z = zz_of[ci][by, bx]
+                        if ah == 0:
+                            _emit_ac_first(bw2, z, al, enc_ac)
+                        else:
+                            _emit_ac_refine(bw2, z, al, enc_ac)
+                bw2.pad_to_byte()
+                sos = bytes((1, ci + 1, 0x00, 1, 63, (ah << 4) | al))
+                chunks.append((sos, bw2.out))
+        return chunks
+
+    scan_chunks = emit_progressive() if progressive else emit_sequential()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
@@ -648,19 +736,86 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for ci, (_, _, hs, vs, tq) in enumerate(comps):
         sof += bytes((ci + 1, (hs << 4) | vs, tq))
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for ci in range(len(comps)):
-        sos += bytes((ci + 1, 0x00))  # DC table 0, AC table 0
-    sos += bytes((0, 63, 0))
-    out += seg(0xDA, sos)
-    out += bw.out
+    for sos, entropy in scan_chunks:
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _emit_ac_first(bw, zz, al, enc_ac):
+    """Progressive AC first pass for one block: magnitudes are
+    abs(v) >> Al (truncation toward zero per G.1.2.2), zero-run
+    coding as in baseline, EOB per block."""
+    mags = [
+        (abs(int(zz[k])) >> al, int(zz[k]) > 0) for k in range(1, 64)
+    ]
+    last = 0
+    for i, (t, _) in enumerate(mags):
+        if t:
+            last = i + 1
+    run = 0
+    for i in range(last):
+        t, pos = mags[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _mag_bits(t if pos else -t)
+        code, ln = enc_ac[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+    if last < 63:
+        code, ln = enc_ac[0x00]  # EOB (run of 1)
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, zz, al, enc_ac):
+    """Progressive AC refinement for one block (G.1.2.3): r counts
+    still-zero positions only; correction bits for already-nonzero
+    coefficients buffer and flush after the next emitted symbol —
+    including ZRLs, whose flush check runs at correction positions
+    too (the decoder reads those bits while PASSING the positions)."""
+    r = 0
+    pending: list[int] = []
+
+    def flush():
+        for b in pending:
+            bw.write(b, 1)
+        pending.clear()
+
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = enc_ac[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            flush()
+        if t > 1:  # already significant at the prior precision
+            pending.append(t & 1)
+            continue
+        code, ln = enc_ac[(r << 4) | 1]  # newly significant
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        flush()
+        r = 0
+    if r > 0 or pending:
+        code, ln = enc_ac[0x00]  # EOB (run of 1)
+        bw.write(code, ln)
+        flush()
 
 
 class _BitReader:
@@ -737,103 +892,21 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def decode_jpeg(payload: bytes, return_quant: bool = False):
-    """Baseline JPEG → uint8 gray (h, w) or RGB (h, w, 3).  With
-    ``return_quant``, also returns the file's quantization tables
-    ({table_id: (8, 8) natural-order array}) so a re-encode can keep
-    the source's rate point."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (SOI)")
-    pos = 2
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
-    sof = None
-    restart_interval = 0
-    scan = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"bad JPEG marker alignment at {pos}")
-        marker = payload[pos + 1]
-        if marker in _SOF_UNSUPPORTED:
-            raise ValueError(f"unsupported JPEG coding: {_SOF_UNSUPPORTED[marker]}")
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        body = payload[pos + 4 : pos + 2 + seglen]
-        if len(body) != seglen - 2:
-            raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
-            o = 0
-            while o < len(body):
-                pq, tq = body[o] >> 4, body[o] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables not supported")
-                zz = np.frombuffer(body, np.uint8, 64, o + 1).astype(np.int64)
-                qtables[tq] = zz[_UNZIGZAG].reshape((8, 8))
-                o += 65
-        elif marker == 0xC4:  # DHT
-            o = 0
-            while o < len(body):
-                tc, th = body[o] >> 4, body[o] & 15
-                bits = list(body[o + 1 : o + 17])
-                nv = sum(bits)
-                vals = list(body[o + 17 : o + 17 + nv])
-                _, dec = _build_huffman(bits, vals)
-                htables[(tc, th)] = dec
-                o += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
-            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError(f"only 8-bit JPEG supported, precision={prec}")
-            if nc not in (1, 3):
-                raise ValueError(f"unsupported component count {nc}")
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                hs, vs = hv >> 4, hv & 15
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise ValueError(f"unsupported sampling factors {hs}x{vs}")
-                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            sof = {"w": fw, "h": fh, "comps": comps}
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
-            if sof is None:
-                raise ValueError("JPEG SOS before SOF")
-            ns = body[0]
-            sel = {}
-            for s in range(ns):
-                cs, tt = body[1 + 2 * s : 3 + 2 * s]
-                sel[cs] = (tt >> 4, tt & 15)
-            scan = (sel, pos + 2 + seglen)
-            break
-        pos += 2 + seglen
-    if sof is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    sel, data_pos = scan
-    w, h, comps = sof["w"], sof["h"], sof["comps"]
-    if w == 0 or h == 0:
-        raise ValueError("zero-dimension JPEG")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    coef = []
-    for c in comps:
-        nbx, nby = mcux * c["h"], mcuy * c["v"]
-        coef.append(np.zeros((nby, nbx, 64), dtype=np.int64))
-        if c["tq"] not in qtables:
-            raise ValueError(f"JPEG references missing DQT {c['tq']}")
-        dc_id, ac_id = sel[c["id"]]
-        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+def _decode_sequential_scan(br, scan, members, comps, coef, mcux, mcuy):
+    """Baseline/extended-sequential scan: all components interleaved
+    in MCU order, DC + AC in one pass (the pre-r5 decoder body)."""
+    if len(members) != len(comps):
+        raise ValueError("sequential JPEG scan must carry every component")
+    for ci, dc, ac in members:
+        if dc is None or ac is None:
             raise ValueError("JPEG references missing DHT")
-        c["dc"], c["ac"] = htables[(0, dc_id)], htables[(1, ac_id)]
-
-    br = _BitReader(payload, data_pos)
+        comps[ci]["dc"], comps[ci]["ac"] = dc, ac
+    dri = scan["dri"]
     preds = [0] * len(comps)
     for my in range(mcuy):
         for mx in range(mcux):
             n_mcu = my * mcux + mx
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            if dri and n_mcu and n_mcu % dri == 0:
                 br.expect_restart()
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
@@ -857,6 +930,275 @@ def decode_jpeg(payload: bytes, return_quant: bool = False):
                                 raise ValueError("JPEG AC run past block end")
                             zz[k] = _extend(br.read_bits(size), size)
                             k += 1
+
+
+def _decode_progressive_scan(br, scan, members, comps, coef, mcux, mcuy):
+    """One progressive (SOF2) scan — T.81 G.1.2: DC scans (Ss=0,
+    interleaved or single-component) with successive-approximation
+    first/refine passes, AC scans (single component, non-interleaved
+    over ITS OWN block grid) with spectral selection, EOB runs, and
+    the refinement correction-bit procedure.  Restart markers reset
+    DC predictors AND the EOB run."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    dri = scan["dri"]
+    if ss == 0:
+        # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for ci, dc, _ in members:
+            if ah == 0 and dc is None:
+                raise ValueError("JPEG references missing DHT")
+        preds = {ci: 0 for ci, _, _ in members}
+
+        def dc_block(zz, ci, dc):
+            if ah == 0:  # first pass: diff of (DC >> Al)
+                cat = _decode_huffman_symbol(br, dc)
+                preds[ci] += _extend(br.read_bits(cat), cat)
+                zz[0] = preds[ci] << al
+            else:  # refinement: one bit
+                if br.read_bit():
+                    zz[0] |= 1 << al
+
+        if len(members) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    n_mcu = my * mcux + mx
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        br.expect_restart()
+                        preds = {ci: 0 for ci, _, _ in members}
+                    for ci, dc, _ in members:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    coef[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                    ci, dc,
+                                )
+        else:
+            ci, dc, _ = members[0]
+            c = comps[ci]
+            n = 0
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if dri and n and n % dri == 0:
+                        br.expect_restart()
+                        preds = {ci: 0}
+                    dc_block(coef[ci][by, bx], ci, dc)
+                    n += 1
+        return
+
+    # ---- AC scan: exactly one component, non-interleaved ----
+    if len(members) != 1:
+        raise ValueError("progressive AC scan must carry one component")
+    ci, _, ac = members[0]
+    if ac is None:
+        raise ValueError("JPEG references missing DHT")
+    c = comps[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    n = 0
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            if dri and n and n % dri == 0:
+                br.expect_restart()
+                eobrun = 0
+            n += 1
+            zz = coef[ci][by, bx]
+            if ah == 0:
+                # ---- AC first pass (G.1.2.2) ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huffman_symbol(br, ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past spectral band")
+                    zz[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:
+                # ---- AC refinement pass (G.1.2.3) ----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huffman_symbol(br, ac)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break  # fall through to the EOB sweep
+                            # r == 15: pass over 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad magnitude in JPEG AC refinement"
+                                )
+                            newval = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if zz[k] != 0:
+                                # correction bit for an already-nonzero
+                                if br.read_bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB sweep: correction bits for the band's rest
+                    while k <= se:
+                        if zz[k] != 0:
+                            if br.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def decode_jpeg(payload: bytes, return_quant: bool = False):
+    """Baseline JPEG → uint8 gray (h, w) or RGB (h, w, 3).  With
+    ``return_quant``, also returns the file's quantization tables
+    ({table_id: (8, 8) natural-order array}) so a re-encode can keep
+    the source's rate point."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scans: list[dict] = []
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI — no length segment
+            break
+        if marker in _SOF_UNSUPPORTED:
+            raise ValueError(f"unsupported JPEG coding: {_SOF_UNSUPPORTED[marker]}")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                zz = np.frombuffer(body, np.uint8, 64, o + 1).astype(np.int64)
+                qtables[tq] = zz[_UNZIGZAG].reshape((8, 8))
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                _, dec = _build_huffman(bits, vals)
+                htables[(tc, th)] = dec
+                o += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, precision={prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            sof = {"w": fw, "h": fh, "comps": comps,
+                   "progressive": marker == 0xC2}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = []
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s : 3 + 2 * s]
+                sel.append((cs, tt >> 4, tt & 15))
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            data_pos = pos + 2 + seglen
+            scans.append(
+                {
+                    "sel": sel, "ss": ss_, "se": se_,
+                    "ah": ahal >> 4, "al": ahal & 15,
+                    "pos": data_pos, "dri": restart_interval,
+                }
+            )
+            # hop to the next marker without decoding: entropy data is
+            # everything until a non-stuffed, non-RST 0xFF marker
+            p = data_pos
+            while p + 1 < len(payload):
+                if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+                    0xD0 <= payload[p + 1] <= 0xD7
+                ):
+                    break
+                p += 2 if payload[p] == 0xFF else 1
+            pos = p
+            continue
+        pos += 2 + seglen
+    if sof is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    coef = []
+    for c in comps:
+        nbx, nby = mcux * c["h"], mcuy * c["v"]
+        coef.append(np.zeros((nby, nbx, 64), dtype=np.int64))
+        if c["tq"] not in qtables:
+            raise ValueError(f"JPEG references missing DQT {c['tq']}")
+        # this component's own block grid for NON-interleaved scans
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch_ // 8)
+    cid_to_ix = {c["id"]: i for i, c in enumerate(comps)}
+    progressive = sof["progressive"]
+
+    for scan in scans:
+        br = _BitReader(payload, scan["pos"])
+        members = []
+        for cs, dc_id, ac_id in scan["sel"]:
+            if cs not in cid_to_ix:
+                raise ValueError(f"JPEG scan references unknown component {cs}")
+            members.append(
+                (cid_to_ix[cs], htables.get((0, dc_id)), htables.get((1, ac_id)))
+            )
+        if progressive:
+            _decode_progressive_scan(br, scan, members, comps, coef, mcux, mcuy)
+        else:
+            _decode_sequential_scan(br, scan, members, comps, coef, mcux, mcuy)
 
     planes = []
     for ci, c in enumerate(comps):

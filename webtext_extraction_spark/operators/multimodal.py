@@ -9,11 +9,12 @@ content hash — the SQL-replayable oracle path); a ``decoder``/
 ``resizer`` callable runs REAL decode through the seam — and real
 dependency-free codecs ship in ``operators/codecs.py``
 (``image_feature`` / ``image_resizer``): binary PPM/PGM, 24-bit BMP,
-(r5) 8-bit non-interlaced PNG (stdlib zlib), and (r5) baseline
-sequential JPEG (markers + canonical Huffman + 8x8 DCT matrix
-product, T.81 end to end).  ``decode_stub=False`` with no callable
-raises NotImplementedError (the remaining gated formats — progressive
-JPEG, video — genuinely need libjpeg/ffmpeg, absent here).
+(r5) 8-bit non-interlaced PNG (stdlib zlib), and (r5) JPEG — baseline
+sequential AND progressive SOF2 (markers + canonical Huffman +
+successive approximation + 8x8 DCT matrix product, T.81 end to end).
+``decode_stub=False`` with no callable raises NotImplementedError
+(the remaining gated formats — non-MJPEG video, compressed audio —
+genuinely need ffmpeg-class codecs, absent here).
 
 At 100 TB this is the standard shape: binary stays columnar
 end-to-end (parquet → Arrow → pandas bytes) with no base64 detours,
