@@ -229,22 +229,22 @@ def test_png_rejects_corruption_and_unsupported():
     good = encode_png(arr)
     with pytest.raises(ValueError):
         decode_png(good[:20])  # truncated
-    # 16-bit depth in IHDR
+    # 16-bit depth in IHDR still unsupported
     import struct as _struct
 
     ihdr = _struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
     bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="8-bit"):
+    with pytest.raises(ValueError, match="bit depth"):
         decode_png(bad)
-    # interlaced
-    ihdr = _struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1)
-    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(bad)
-    # palette color type
+    # palette color type without a PLTE chunk
     ihdr = _struct.pack(">IIBBBBB", 3, 3, 8, 3, 0, 0, 0)
     bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="color type"):
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bad)
+    # sub-8-bit RGB is not a legal combination
+    ihdr = _struct.pack(">IIBBBBB", 3, 3, 4, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
         decode_png(bad)
 
 
@@ -729,3 +729,49 @@ def test_progressive_through_image_seam():
     out = image_resizer(payload, 8, 4)
     assert out[:2] == b"\xff\xd8"
     assert decode_jpeg(out).shape == (4, 8, 3)
+
+
+def test_png_adam7_interlaced_roundtrip_every_filter():
+    """Adam7 passes are independently filtered sub-images; every
+    filter × color type × odd/tiny dims must roundtrip bit-exactly
+    (tiny dims exercise empty passes)."""
+    rng = np.random.RandomState(9)
+    for ft in range(5):
+        for shape in [(1, 1), (3, 2), (9, 13, 3), (8, 8, 4), (5, 7, 2), (2, 17)]:
+            arr = rng.randint(0, 256, shape).astype(np.uint8)
+            p = encode_png(arr, filter_type=ft, interlace=True)
+            assert np.array_equal(decode_png(p), arr), (ft, shape)
+
+
+def test_png_palette_roundtrip_all_depths():
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 4, (11, 13, 3)).astype(np.uint8) * 80
+    assert np.array_equal(decode_png(encode_png(img, palette=True)), img)
+    # interlaced palette too
+    p = encode_png(img, palette=True, interlace=True, filter_type=2)
+    assert np.array_equal(decode_png(p), img)
+    for d in (1, 2, 4):
+        colors = np.array(
+            [[0, 0, 0], [255, 10, 20], [9, 200, 70], [50, 60, 250]][: 1 << min(d, 2)],
+            np.uint8,
+        )
+        img2 = colors[rng.randint(0, len(colors), (6, 10))]
+        assert np.array_equal(
+            decode_png(encode_png(img2, palette=True, bit_depth=d)), img2
+        ), d
+    with pytest.raises(ValueError, match="colors exceed"):
+        encode_png(rng.randint(0, 256, (4, 4, 3)).astype(np.uint8),
+                   palette=True, bit_depth=2)
+
+
+def test_png_sub8bit_gray_exact_scaling():
+    """Depths 1/2/4 scale by exactly 255/(2^d - 1) (255/85/17 — all
+    integers), so sub-8-bit gray roundtrips bit-exactly."""
+    rng = np.random.RandomState(11)
+    for d, scale in ((1, 255), (2, 85), (4, 17)):
+        g = (rng.randint(0, 1 << d, (7, 9)) * scale).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(g, bit_depth=d)), g)
+        p = encode_png(g, bit_depth=d, interlace=True, filter_type=1)
+        assert np.array_equal(decode_png(p), g)
+    with pytest.raises(ValueError, match="multiples"):
+        encode_png(np.array([[3]], np.uint8), bit_depth=2)

@@ -158,8 +158,11 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 # loop — correct for any input, fast enough for tests and metadata
 # probes; a production hot path would route bulk PNG decode to a
 # vendored library through this same ``decode_image`` dispatch.
-# Interlaced (Adam7), 16-bit, and palette PNGs raise — unsupported
-# media routes to a quarantine status, never a guess.
+# Coverage spans the common web variants (r5): Adam7 interlacing
+# (each pass an independently-filtered sub-image), palette (PLTE)
+# color, and sub-8-bit gray/palette depths 1/2/4 (gray scales by
+# exactly 255/(2^d - 1) — an integer for every legal d).  16-bit
+# PNGs raise — unsupported media routes to quarantine, never a guess.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -184,60 +187,26 @@ def _paeth_scalar(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → uint8 array: gray (h, w),
-    gray+alpha (h, w, 2), RGB (h, w, 3), RGBA (h, w, 4).  Chunk CRCs
-    are verified; multiple IDAT chunks concatenate per spec."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (signature)")
-    off = 8
-    ihdr = None
-    idat = b""
-    saw_end = False
-    while off + 12 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, off)
-        ctype = payload[off + 4 : off + 8]
-        data = payload[off + 8 : off + 8 + length]
-        if len(data) != length or off + 12 + length > len(payload):
-            raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
-        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
-            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            saw_end = True
-            break
-        off += 12 + length
-    if ihdr is None or len(ihdr) != 13:
-        raise ValueError("PNG missing/bad IHDR")
-    if not saw_end:
-        raise ValueError("PNG missing IEND")
-    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, depth={depth}")
-    if comp != 0 or filt != 0:
-        raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
-    channels = _PNG_CHANNELS.get(ct)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {ct}")
-    if w == 0 or h == 0:
-        raise ValueError("zero-dimension PNG")
-    raw = zlib.decompress(idat)
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at
+    ``off`` (each preceded by its filter byte); returns the (h,
+    stride) uint8 array and the offset past the consumed bytes."""
+    if off + h * (stride + 1) > len(raw):
         raise ValueError("PNG scanline size mismatch")
-    bpp = channels
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        f = raw[y * (stride + 1)]
+        base = off + y * (stride + 1)
+        f = raw[base]
         row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if f == 0:
             recon = row
@@ -262,35 +231,137 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = recon.astype(np.uint8)
         prev = recon
+    return out, off + h * (stride + 1)
+
+
+def _png_unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) packed scanlines → (h, w) integer samples for
+    sub-8-bit depths (MSB-first packing per spec)."""
+    if depth == 8:
+        return rows[:, :w].astype(np.int64)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits.shape[1] // depth
+    grouped = bits[:, : per * depth].reshape(rows.shape[0], per, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (grouped * weights).sum(axis=2)[:, :w].astype(np.int64)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array: gray (h, w), gray+alpha (h, w, 2), RGB
+    (h, w, 3), RGBA (h, w, 4); palette images decode through PLTE to
+    (h, w, 3).  Covers the common web variants: bit depths 1/2/4/8
+    (gray and palette; sub-8-bit gray scales exactly by
+    255/(2^d - 1)), Adam7 interlacing, multi-IDAT streams; chunk CRCs
+    verified.  16-bit stays unsupported (raises)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (signature)")
+    off = 8
+    ihdr = None
+    idat = b""
+    plte = None
+    saw_end = False
+    while off + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        if len(data) != length or off + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        off += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/bad IHDR")
+    if not saw_end:
+        raise ValueError("PNG missing IEND")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    allowed = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+    if ct not in allowed:
+        raise ValueError(f"unsupported PNG color type {ct}")
+    if depth not in allowed[ct]:
+        raise ValueError(
+            f"unsupported PNG bit depth {depth} for color type {ct}"
+        )
+    if ct == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    channels = 1 if ct == 3 else _PNG_CHANNELS[ct]
+    raw = zlib.decompress(idat)
+    bpp = max(1, depth * channels // 8)
+
+    def pass_pixels(pw, ph, off0):
+        stride = -(-pw * channels * depth // 8)
+        rows, off1 = _png_unfilter(raw, off0, ph, stride, bpp)
+        if depth == 8:
+            px = rows[:, : pw * channels].reshape(ph, pw, channels)
+            px = px.astype(np.int64)
+        else:
+            px = _png_unpack_samples(rows, pw, depth)[:, :, None]
+        return px, off1
+
+    if interlace == 0:
+        px, off1 = pass_pixels(w, h, 0)
+        if off1 != len(raw):
+            raise ValueError("PNG scanline size mismatch")
+        samples = px
+    else:
+        samples = np.zeros((h, w, channels), dtype=np.int64)
+        off1 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            px, off1 = pass_pixels(pw, ph, off1)
+            samples[y0::dy, x0::dx] = px
+        if off1 != len(raw):
+            raise ValueError("PNG scanline size mismatch")
+
+    if ct == 3:
+        idx = samples[:, :, 0]
+        if idx.max() >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]  # (h, w, 3)
+    if depth < 8:  # sub-8-bit gray: exact integer scaling
+        scale = 255 // ((1 << depth) - 1)
+        return (samples[:, :, 0] * scale).astype(np.uint8)
+    out = samples.astype(np.uint8)
     return out.reshape((h, w, channels)) if channels > 1 else out.reshape((h, w))
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 array → PNG: (h, w) → gray, (h, w, 2) → gray+alpha,
-    (h, w, 3) → RGB, (h, w, 4) → RGBA.  ``filter_type`` applies one
-    filter to every scanline (forward filtering vectorizes — the
-    reconstruction values are the input itself), mainly so tests can
-    exercise every unfilter path of :func:`decode_png`."""
-    if arr.ndim == 2:
-        ct, channels = 0, 1
-    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
-        channels = arr.shape[2]
-        ct = {2: 4, 3: 2, 4: 6}[channels]
-    else:
-        raise ValueError(f"unsupported array shape {arr.shape}")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"bad PNG filter type {filter_type}")
-    h, w = arr.shape[:2]
-    stride = w * channels
-    flat = np.ascontiguousarray(arr, dtype=np.uint8).reshape((h, stride))
-    rows = flat.astype(np.int32)
+def _png_filter_pass(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Forward-filter one (sub-)image's packed scanlines (h, stride)
+    with one filter type per row."""
+    h, stride = rows.shape
+    rows = rows.astype(np.int32)
     zero = np.zeros(stride, dtype=np.int32)
+    pad = np.zeros(bpp, dtype=np.int32)
     lines = []
     for y in range(h):
         cur = rows[y]
         up = rows[y - 1] if y > 0 else zero
-        left = np.concatenate([np.zeros(channels, dtype=np.int32), cur[:-channels]])
-        ul = np.concatenate([np.zeros(channels, dtype=np.int32), up[:-channels]])
+        left = np.concatenate([pad, cur[:-bpp]]) if stride > bpp else np.zeros(
+            stride, dtype=np.int32
+        )
+        ul = np.concatenate([pad, up[:-bpp]]) if stride > bpp else np.zeros(
+            stride, dtype=np.int32
+        )
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -307,11 +378,109 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             )
             filt = cur - pred
         lines.append(bytes([filter_type]) + (filt & 255).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return b"".join(lines)
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) integer samples < 2^depth → (h, stride_bytes) packed
+    scanlines (MSB-first)."""
+    if depth == 8:
+        return samples.astype(np.uint8)
+    h, w = samples.shape
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth).astype(np.uint8)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    palette: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
+    """uint8 array → PNG: (h, w) → gray, (h, w, 2) → gray+alpha,
+    (h, w, 3) → RGB, (h, w, 4) → RGBA.  ``filter_type`` applies one
+    filter to every scanline (forward filtering vectorizes — the
+    reconstruction values are the input itself), mainly so tests can
+    exercise every unfilter path of :func:`decode_png`.
+    ``interlace`` emits Adam7 (each pass filtered independently);
+    ``palette`` emits color type 3 from a (h, w, 3) input with ≤
+    2^bit_depth distinct colors; ``bit_depth`` < 8 is valid for
+    palette and for gray whose values are exact multiples of
+    255/(2^bit_depth - 1)."""
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad PNG bit depth {bit_depth}")
+    h, w = arr.shape[:2]
+    plte_chunk = b""
+    if palette:
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("palette PNG needs an (h, w, 3) input")
+        flat = np.ascontiguousarray(arr, dtype=np.uint8).reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > (1 << bit_depth):
+            raise ValueError(
+                f"{len(colors)} colors exceed palette depth {bit_depth}"
+            )
+        ct, channels = 3, 1
+        samples = inverse.reshape(h, w).astype(np.int64)
+        plte_chunk = _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+    elif arr.ndim == 2:
+        ct, channels = 0, 1
+        samples = arr.astype(np.int64)
+        if bit_depth < 8:
+            scale = 255 // ((1 << bit_depth) - 1)
+            if (samples % scale).any() or samples.max() > 255:
+                raise ValueError(
+                    f"gray values must be multiples of {scale} at depth "
+                    f"{bit_depth}"
+                )
+            samples = samples // scale
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        channels = arr.shape[2]
+        ct = {2: 4, 3: 2, 4: 6}[channels]
+        if bit_depth != 8:
+            raise ValueError("multi-channel PNG supports depth 8 only")
+        samples = None
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    if ct in (0, 3):
+        packed_full = _png_pack_rows(samples, bit_depth)
+
+        def pass_rows(x0, y0, dx, dy):
+            return _png_pack_rows(samples[y0::dy, x0::dx], bit_depth)
+    else:
+        bit_depth = 8
+        flat = np.ascontiguousarray(arr, dtype=np.uint8)
+
+        def pass_rows(x0, y0, dx, dy):
+            sub = flat[y0::dy, x0::dx]
+            return sub.reshape(sub.shape[0], sub.shape[1] * channels)
+
+        packed_full = flat.reshape(h, w * channels)
+    bpp = max(1, bit_depth * channels // 8)
+    if not interlace:
+        body = _png_filter_pass(packed_full, bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            parts.append(_png_filter_pass(pass_rows(x0, y0, dx, dy), bpp, filter_type))
+        body = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, ct, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + plte_chunk
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
         + _png_chunk(b"IEND", b"")
     )
 
