@@ -942,6 +942,137 @@ def hll_cardinality(
     return agg.select(*group_cols, F.round(est, 6).alias("hll_estimate"))
 
 
+def value_histogram(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Power-of-two histogram sketch over a non-negative integer value
+    column — the bounded-memory, MERGEABLE quantile artifact next to
+    the exact percentile operators (``group_percentiles`` /
+    ``global_percentiles``): where those rank every row (one Exchange
+    + one Sort over the data), this is ONE groupBy with map-side
+    combine whose shuffle carries ≤ ~62 (group, bin, count) rows per
+    task, and per-crawl histograms accrete by plain summation
+    (``hist_merge``) without re-reading text — the cross-crawl
+    length/token distribution report at 100 TB.
+
+    Bin b covers [2^b − 1, 2^(b+1) − 2]: bin = bit_length(v + 1) − 1,
+    computed as ``length(bin(v + 1)) − 1`` — both engines' ``bin()``
+    drops leading zeros (the same trick as ``hll_cardinality``'s rho),
+    so the sketch is INTEGER arithmetic end to end and replays
+    bit-exactly in DuckDB.  Log-scale bins give constant relative
+    error (est_hi < 2·est_lo + 1), the natural scale for length-ish
+    distributions.
+
+    NULL and negative values are excluded (documented: the operator
+    targets counts/lengths; values must be < 2^61 so bin edges stay
+    in int64).  Output: (*group_cols, bin int, bin_lo long, bin_hi
+    long, cnt long), sparse — absent bins count 0."""
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    b = (F.length(F.bin(v + 1)) - 1).cast("int")
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *group_cols,
+            "bin",
+            (F.expr("shiftleft(CAST(1 AS BIGINT), bin)") - 1).alias("bin_lo"),
+            (F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1)") - 2).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms built by ``value_histogram`` over the same
+    grouping by per-bin summation — the accrete-per-crawl path."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c not in ("cnt",)]
+    return (
+        out.groupBy(*[k for k in keys if k not in ("bin_lo", "bin_hi")])
+        .agg(
+            F.min("bin_lo").alias("bin_lo"),
+            F.min("bin_hi").alias("bin_hi"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .select(*keys, "cnt")
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile envelopes from a ``value_histogram`` sketch: for each
+    group and rational quantile q = num/den, the bin holding the
+    ⌈q·n⌉-th smallest value (1-indexed order statistic, the
+    quantile-disc rule) — so the true quantile is GUARANTEED inside
+    [est_lo, est_hi], a ≤2× relative envelope from the log-scale bins.
+
+    Quantiles are RATIONAL pairs, and the rank is
+    ⌊(n·num + den − 1) / den⌋ (integer ceiling) — no float touches the
+    computation anywhere, which is what lets a gate oracle replay a
+    quantile *sketch* bit-exactly.  Runs entirely on the tiny sketch:
+    a per-group running sum over ≤ ~62 bins, then min-bin-covering-rank
+    per (group, q).
+
+    Output: (*group_cols, q_num int, q_den int, n long, rank long,
+    est_lo long, est_hi long)."""
+    group_cols = list(group_cols or [])
+    for num, den in qs:
+        if not (isinstance(num, int) and isinstance(den, int) and 0 < num <= den):
+            raise ValueError(f"quantiles must be int pairs 0 < num <= den, got {qs}")
+    w = Window.partitionBy(*group_cols).orderBy("bin") if group_cols else (
+        Window.partitionBy().orderBy("bin")
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    e = cum.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(num).alias("q_num"), F.lit(den).alias("q_den")
+                    )
+                    for num, den in sorted(set(qs))
+                ]
+            )
+        ).alias("_q"),
+    ).select(*group_cols, "bin", "_cum", "n", "_q.q_num", "_q.q_den")
+    rank = F.floor(
+        (F.col("n") * F.col("q_num") + F.col("q_den") - 1) / F.col("q_den")
+    ).cast("long")
+    hit = e.withColumn("rank", rank).filter(F.col("_cum") >= F.col("rank"))
+    agg = hit.groupBy(*group_cols, "q_num", "q_den").agg(
+        F.min("bin").alias("_bin"),
+        F.max("n").alias("n"),
+        F.max("rank").alias("rank"),
+    )
+    return agg.select(
+        *group_cols,
+        "q_num",
+        "q_den",
+        "n",
+        "rank",
+        (F.expr("shiftleft(CAST(1 AS BIGINT), _bin)") - 1).alias("est_lo"),
+        (F.expr("shiftleft(CAST(1 AS BIGINT), _bin + 1)") - 2).alias("est_hi"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
     out = token_counts(df, text_col)
