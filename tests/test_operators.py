@@ -1091,6 +1091,49 @@ def test_split_corpus_python_replay_and_contract(spark):
         textstats.split_corpus(df, "doc_id", {"a": 1.5, "b": -0.5})
 
 
+def test_sample_stratified_python_replay_and_contract(spark):
+    import hashlib as _hl
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(120)] + [(200, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = [(r["g"], r["doc_id"], r["rk"]) for r in
+           textstats.sample_stratified(df, "g", "doc_id", k=4)
+           .orderBy("g", "rk").collect()]
+
+    def ticket(i):
+        return int(_hl.md5(f"strat-v1|{i}".encode()).hexdigest()[:15], 16)
+
+    exp = []
+    for g in ("g0", "g1", "g2", "tiny"):
+        ids = sorted((i for i, gg in rows if gg == g),
+                     key=lambda i: (ticket(i), i))[:4]
+        exp += [(g, i, rk + 1) for rk, i in enumerate(ids)]
+    assert got == exp
+    # a group smaller than k yields all its rows, never pads
+    assert [t for t in got if t[0] == "tiny"] == [("tiny", 200, 1)]
+    # different salt draws a different sample (overwhelmingly)
+    other = [(r["g"], r["doc_id"]) for r in
+             textstats.sample_stratified(df, "g", "doc_id", k=4,
+                                         salt="strat-v2").collect()]
+    assert set(other) != {(g, i) for g, i, _ in got}
+
+
+def test_sample_stratified_sharded_equals_plain(spark):
+    """Two-stage (hot-group-safe) formulation returns the IDENTICAL
+    row set: top-k of per-shard top-k's is the global top-k."""
+    rows = [(i, "g%d" % (i % 2)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    plain = set(map(tuple, textstats.sample_stratified(
+        df, "g", "doc_id", k=7).collect()))
+    sharded = set(map(tuple, textstats.sample_stratified(
+        df, "g", "doc_id", k=7, salt_partitions=8).collect()))
+    assert plain == sharded
+    with pytest.raises(ValueError):
+        textstats.sample_stratified(df, "g", "doc_id", k=0)
+    with pytest.raises(ValueError):
+        textstats.sample_stratified(df, "g", "doc_id", k=2, salt_partitions=0)
+
+
 def test_sample_mix_threshold_rounds_and_drops_null_ids(spark):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 

@@ -342,6 +342,62 @@ def sample_mix(
     return df.filter(ticket < threshold)
 
 
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "strat-v1",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group — the fixed-size-per-
+    stratum companion to :func:`sample_mix` (rate-based): eval-set
+    carving, per-domain spot-check pulls, balanced few-shot pools.
+
+    Selection is the k SMALLEST md5 tickets
+    (``portable_hash64(salt‖id)``, id as tie-break) per group — a
+    uniform without-replacement draw that is deterministic across
+    engines/runs/cluster sizes, so re-draws never silently rotate and
+    the DuckDB oracle replays the exact row set.  Changing ``salt``
+    draws an independent sample.
+
+    Output: (group_col, id_col, rk int), rk = 1..k in ticket order.
+
+    Scale shape: the default is one row_number window (one Exchange +
+    one Sort on group).  A single 100 TB-scale hot group funnels its
+    whole sort through one task — for that regime pass
+    ``salt_partitions=S``: stage 1 takes the per-(group, shard) top-k
+    inside S hash shards of each group (bounded sort tasks), stage 2
+    re-ranks the ≤ k·S survivors per group — top-k of shard top-k's
+    is exactly the global top-k, so the result is IDENTICAL (unit
+    test pins the equivalence); only the work shape changes."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if salt_partitions is not None and salt_partitions < 1:
+        raise ValueError(f"salt_partitions must be >= 1, got {salt_partitions}")
+    ticket = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(group_col), F.col(id_col), ticket.alias("_ticket")
+    )
+    if salt_partitions is not None and salt_partitions > 1:
+        shard = F.xxhash64(F.col(id_col).cast("string")) % salt_partitions
+        w1 = Window.partitionBy(group_col, "_shard").orderBy("_ticket", id_col)
+        base = (
+            base.withColumn("_shard", shard)
+            .withColumn("_srk", F.row_number().over(w1))
+            .filter(F.col("_srk") <= k)
+            .drop("_shard", "_srk")
+        )
+    w = Window.partitionBy(group_col).orderBy("_ticket", id_col)
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, "rk")
+    )
+
+
 def split_corpus(
     df: DataFrame,
     id_col: str,
