@@ -775,3 +775,167 @@ def test_png_sub8bit_gray_exact_scaling():
         assert np.array_equal(decode_png(p), g)
     with pytest.raises(ValueError, match="multiples"):
         encode_png(np.array([[3]], np.uint8), bit_depth=2)
+
+
+# ---------------------------------------------------------------------------
+# GIF: LZW, palettes, interlace, animation, hand-built decoder forms
+# ---------------------------------------------------------------------------
+
+from webtext_extraction_spark.operators.codecs import (  # noqa: E402
+    _gif_subblocks,
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+    gif_frames,
+    video_frame_features,
+)
+
+
+def test_gif_lzw_roundtrip_with_table_saturation():
+    """60k random indices force the 12-bit table to saturate — the
+    deferred-clear regime (frozen table) must roundtrip exactly for
+    every min code size."""
+    rng = np.random.RandomState(11)
+    for mcs in (2, 3, 8):
+        idx = rng.randint(0, 1 << mcs, 60000).tolist()
+        assert _lzw_decode(mcs, _lzw_encode(mcs, idx), len(idx)) == idx
+
+
+def test_gif_lzw_rejects_truncation_and_overflow_codes():
+    enc = _lzw_encode(2, [0, 1, 2, 3] * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(2, enc[:2], 40)
+    with pytest.raises(ValueError, match="more pixels"):
+        _lzw_decode(2, enc, 3)  # frame smaller than the stream
+
+
+def test_gif_still_roundtrip_paletted_and_interlaced():
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 6, (37, 53))
+    img = np.stack([base * 40, (base * 40 + 20) % 256,
+                    (base * 40 + 90) % 256], -1).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+    # odd heights exercise every interlace pass boundary
+    for h in (1, 2, 3, 5, 8, 9):
+        small = img[:h, :7]
+        assert np.array_equal(
+            decode_gif(encode_gif(small, interlace=True)), small)
+
+
+def test_gif_256_color_roundtrip_and_lossless_refusal():
+    gray = np.stack([np.tile(np.arange(256, dtype=np.uint8), (8, 1))] * 3, -1)
+    assert np.array_equal(decode_gif(encode_gif(gray)), gray)
+    rng = np.random.RandomState(9)
+    noisy = rng.randint(0, 256, (30, 30, 3)).astype(np.uint8)
+    assert len(np.unique(noisy.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="lossless-only"):
+        encode_gif(noisy)
+
+
+def test_gif_animation_roundtrip_and_delays():
+    rng = np.random.RandomState(5)
+    frames = [np.full((16, 24, 3), (i * 37) % 256, np.uint8) for i in range(6)]
+    fr, delays = gif_frames(encode_gif(frames, delays_cs=[3, 5, 7, 9, 11, 13]))
+    assert delays == [3, 5, 7, 9, 11, 13]
+    assert all(np.array_equal(a, b) for a, b in zip(fr, frames))
+
+
+def _hand_gif(blocks: bytes, w=4, h=2, pal=b"\x00\x00\x00\xff\x00\x00\x00\xff\x00\xff\xff\x00") -> bytes:
+    """Minimal hand-assembled GIF89a: 2-bit global palette
+    (black, red, green, yellow), then caller-provided blocks."""
+    import struct as _s
+    head = b"GIF89a" + _s.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0) + pal
+    return head + blocks + b"\x3b"
+
+
+def _hand_image_block(indices, w, h, fx=0, fy=0, lct=None, interlace=False):
+    import struct as _s
+    packed = (0x40 if interlace else 0)
+    body = b""
+    if lct is not None:
+        depth = {2: 1, 4: 2, 8: 3, 16: 4}[len(lct) // 3]
+        packed |= 0x80 | (depth - 1)
+        body = lct
+    return (b"\x2c" + _s.pack("<HHHHB", fx, fy, w, h, packed) + body
+            + b"\x02" + _gif_subblocks(_lzw_encode(2, indices)))
+
+
+def test_gif_hand_built_transparency_and_subrect_composite():
+    """Decoder forms the bundled encoder never writes, assembled
+    byte-by-hand from the spec: a 2x2 sub-rectangle frame at (1,0)
+    with a transparent index painting over frame 1, then disposal-2
+    (restore background) before frame 3."""
+    import struct as _s
+    f1 = _hand_image_block([1, 1, 1, 1, 1, 1, 1, 1], 4, 2)  # all red
+    # GCE: transparent idx 0, disposal 1 (leave)
+    gce_t = b"\x21\xf9" + _gif_subblocks(_s.pack("<BHB", (1 << 2) | 1, 5, 0))
+    # 2x2 overlay at (1,0): [green, transparent, transparent, yellow]
+    f2 = _hand_image_block([2, 0, 0, 3], 2, 2, fx=1, fy=0)
+    gif = _hand_gif(f1 + gce_t + f2)
+    frames, delays = gif_frames(gif)
+    assert len(frames) == 2 and delays == [0, 5]
+    red, green, yellow = (255, 0, 0), (0, 255, 0), (255, 255, 0)
+    assert frames[0].tolist() == [[list(red)] * 4] * 2
+    exp = [[list(red), list(green), list(red), list(red)],
+           [list(red), list(red), list(yellow), list(red)]]
+    assert frames[1].tolist() == exp
+
+
+def test_gif_hand_built_disposal_restore_background_and_previous():
+    import struct as _s
+    f1 = _hand_image_block([1] * 8, 4, 2)
+    # disposal 2 on the overlay: after frame 2, region restores to bg
+    gce2 = b"\x21\xf9" + _gif_subblocks(_s.pack("<BHB", (2 << 2), 4, 0))
+    f2 = _hand_image_block([2, 2, 2, 2], 2, 2, fx=0, fy=0)
+    f3 = _hand_image_block([3, 3], 2, 1, fx=2, fy=1)
+    frames, _ = gif_frames(_hand_gif(f1 + gce2 + f2 + f3))
+    # frame 3 canvas: f2's rect restored to bg color (palette 0 =
+    # black), f1 pixels elsewhere, f3's yellow strip
+    assert frames[2][0][0].tolist() == [0, 0, 0]  # restored to bg
+    assert frames[2][0][2].tolist() == [255, 0, 0]  # f1 red survives
+    assert frames[2][1][2].tolist() == [255, 255, 0]  # f3 yellow
+    # disposal 3: restore previous — overlay vanishes entirely
+    gce3 = b"\x21\xf9" + _gif_subblocks(_s.pack("<BHB", (3 << 2), 4, 0))
+    frames3, _ = gif_frames(_hand_gif(f1 + gce3 + f2 + f3))
+    assert frames3[2][0][0].tolist() == [255, 0, 0]  # f1 restored
+
+
+def test_gif_hand_built_local_color_table_overrides_global():
+    lct = b"\xff\xff\xff" + b"\x00\x00\xff" + b"\x00\x00\x00" * 2
+    f = _hand_image_block([0, 1, 1, 0, 1, 0, 0, 1], 4, 2, lct=lct)
+    frames, _ = gif_frames(_hand_gif(f))
+    assert frames[0][0][0].tolist() == [255, 255, 255]  # white, not black
+    assert frames[0][0][1].tolist() == [0, 0, 255]  # blue, not red
+
+
+def test_gif_rejects_malformed():
+    ok = encode_gif(np.zeros((3, 3, 3), np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + ok[6:])
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        decode_gif(ok[:-2])
+    with pytest.raises(ValueError, match="no image block"):
+        decode_gif(ok[:13] + ok[13:13 + 6] + b"\x3b")  # palette then trailer
+    bad = bytearray(ok)
+    bad[ok.index(b"\x2c")] = 0x7E  # unknown block tag
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        decode_gif(bytes(bad))
+
+
+def test_gif_through_image_and_video_seams():
+    rng = np.random.RandomState(2)
+    base = rng.randint(0, 4, (10, 14))
+    img = np.stack([base * 60, base * 30, base * 15], -1).astype(np.uint8)
+    payload = encode_gif(img)
+    feats = image_feature(payload, "image")
+    assert len(feats) == 8 and feats[2] == pytest.approx(
+        float(np.float32((img[:, :, 0] / 255.0).mean())))
+    resized = image_resizer(payload, 7, 5)
+    assert resized[:4] == b"GIF8"
+    assert np.array_equal(decode_gif(resized), resize_nearest(img, 7, 5))
+    frames = [np.full((8, 8, 3), c, np.uint8) for c in (10, 20, 30, 40)]
+    vf = video_frame_features(encode_gif(frames), 3)
+    assert [(i, n) for i, n, _ in vf] == [(0, 4), (3, 4)]
+    assert vf[1][2][2] == pytest.approx(40 / 255.0, abs=1e-6)

@@ -1480,14 +1480,22 @@ def mjpeg_frame_payloads(payload: bytes) -> list[bytes]:
 
 def video_frame_features(payload: bytes, every_n: int) -> list[tuple]:
     """REAL decoder for the video frame-sampling seam: every
-    ``every_n``-th MJPEG frame is JPEG-decoded and reduced to the same
-    FEATURE_DIM statistics ``image_feature`` emits; unsampled frames
-    are never entropy-decoded.  Returns
+    ``every_n``-th frame is decoded and reduced to the same
+    FEATURE_DIM statistics ``image_feature`` emits.  Containers:
+    MJPEG AVI (unsampled frames are never entropy-decoded — each
+    frame is an independent JPEG) and animated GIF (frames composite
+    on prior state, so all frames LZW-decode but only sampled ones
+    are reduced to features).  Returns
     [(frame_idx, n_frames, [f0..f7]), ...]."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
-    jpegs = mjpeg_frame_payloads(payload)
     out = []
+    if payload[:4] == b"GIF8":
+        frames, _delays = gif_frames(payload)
+        for idx in range(0, len(frames), every_n):
+            out.append((idx, len(frames), _array_feature(frames[idx])))
+        return out
+    jpegs = mjpeg_frame_payloads(payload)
     for idx in range(0, len(jpegs), every_n):
         out.append((idx, len(jpegs), image_feature(jpegs[idx], "image")))
     return out
@@ -1609,6 +1617,324 @@ def media_feature(payload: bytes, modality: str) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a) — LZW, palettes, interlace, animation
+# ---------------------------------------------------------------------------
+#
+# Real COMPRESSED image + animation through the seam, dependency-free:
+# GIF is variable-width LZW (spec appendix F) over palette indices —
+# pure integer coding, so decode is LOSSLESS and bit-exact, the same
+# oracle regime as PNG.  The encoder stays spec-legal but simple
+# (global palette, full-size frames); the decoder handles the wild
+# forms: local palettes, interlace, sub-rectangle frames, transparency
+# and disposal methods 0-3.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
+    """GIF variable-width LZW: codes are packed LSB-first; CLEAR
+    resets the table, code width grows when the decoder's next free
+    code reaches the width limit and freezes at 12 bits (deferred
+    clear: a saturated table simply stops growing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = [[i] for i in range(clear)] + [[], []]
+    next_code = eoi + 1
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: list[int] | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = table[: eoi + 1]
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW first code {code} undefined")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]  # the just-being-defined code
+            else:
+                raise ValueError(f"GIF LZW code {code} beyond table")
+            if next_code < 4096:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("GIF LZW produced more pixels than the frame holds")
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices) -> bytes:
+    """Encoder mirror of :func:`_lzw_decode`: emits CLEAR first, grows
+    width when its next free code passes the limit (one ahead of the
+    decoder — the `code == next_code` case), freezes the table at 4096
+    (deferred clear)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    acc = 0
+    nbits = 0
+    chunks = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            chunks.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    buf: tuple = ()
+    mid_emissions = 0
+    for idx in indices:
+        idx = int(idx)
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        mid_emissions += 1
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+        # decoder mirror: the receiver defines a (never-used) entry for
+        # every data code after the first, INCLUDING this tail code —
+        # if that phantom entry crosses the width limit the decoder
+        # reads EOI one bit wider, so account for it here
+        if mid_emissions >= 1 and next_code < 4096:
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+    emit(eoi)
+    if nbits:
+        chunks.append(acc & 0xFF)
+    return bytes(chunks)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def _read_subblocks(payload: bytes, off: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        if off >= len(payload):
+            raise ValueError("GIF sub-blocks truncated")
+        n = payload[off]
+        off += 1
+        if n == 0:
+            return bytes(out), off
+        part = payload[off : off + n]
+        if len(part) != n:
+            raise ValueError("GIF sub-block truncated")
+        out += part
+        off += n
+
+
+def _deinterlace_rows(h: int) -> list[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def gif_frames(payload: bytes):
+    """Full GIF decode → (frames, delays_cs): composited full-canvas
+    RGB uint8 frames and per-frame delays in centiseconds.  Handles
+    87a/89a, global + local color tables, interlace, sub-rectangle
+    frames, transparency, and disposal methods 0/1 (leave), 2
+    (restore background — transparent bg renders as palette bg color;
+    features never composite a guessed backdrop) and 3 (restore
+    previous)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (signature)")
+    w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[off : off + 3 * n], np.uint8).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("GIF global color table truncated")
+        off += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    disposal = 0
+    delay = 0
+    while True:
+        if off >= len(payload):
+            raise ValueError("GIF truncated (no trailer)")
+        block = payload[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[off]
+            off += 1
+            data, off = _read_subblocks(payload, off)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                flags, delay = struct.unpack_from("<BH", data, 0)
+                disposal = (flags >> 2) & 0x7
+                transparent = data[3] if flags & 0x1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, off)
+        off += 9
+        ct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            ct = np.frombuffer(payload[off : off + 3 * n], np.uint8).reshape(-1, 3)
+            if len(ct) != n:
+                raise ValueError("GIF local color table truncated")
+            off += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = payload[off]
+        off += 1
+        data, off = _read_subblocks(payload, off)
+        idx = np.array(
+            _lzw_decode(mcs, data, fw * fh), np.int32
+        )
+        if len(idx) != fw * fh:
+            raise ValueError(
+                f"GIF frame pixel count {len(idx)} != {fw}x{fh}"
+            )
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF pixel index beyond color table")
+        idx = idx.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced
+            rows = np.empty_like(idx)
+            rows[_deinterlace_rows(fh)] = idx
+            idx = rows
+        saved = canvas[fy : fy + fh, fx : fx + fw].copy()
+        region = ct[idx]
+        if transparent is not None:
+            keep = idx == transparent
+            region = np.where(keep[:, :, None], saved, region)
+        canvas[fy : fy + fh, fx : fx + fw] = region
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            bg = ct[bg_idx] if bg_idx < len(ct) else 0
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif disposal == 3:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+        transparent = None
+        disposal = 0
+        delay = 0
+    if not frames:
+        raise ValueError("GIF holds no image block")
+    return frames, delays
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF as (h, w, 3) uint8 — the still-image view
+    for :func:`decode_image`."""
+    return gif_frames(payload)[0][0]
+
+
+def encode_gif(
+    frames, delays_cs=None, interlace: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 frame(s) → GIF89a with ONE global color table
+    built from the distinct colors across all frames (> 256 distinct
+    colors raises — palette quantization is a modeling choice the
+    engine refuses to make silently; lossless or nothing, same policy
+    as the flat-quant JPEG fixtures).  Multi-frame input writes an
+    animation (delays in centiseconds, default 10); single-frame may
+    be interlaced to exercise that decode path."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        frames = [frames]
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames or any(f.ndim != 3 or f.shape[2] != 3 for f in frames):
+        raise ValueError("encode_gif needs (h, w, 3) uint8 frames")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all GIF frames must share one size")
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 256:
+        raise ValueError(
+            f"encode_gif is lossless-only: {len(colors)} distinct colors > 256"
+        )
+    depth = max(1, (max(len(colors) - 1, 1)).bit_length())
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    if delays_cs is None:
+        delays_cs = [10] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    if len(frames) > 1:
+        # Netscape loop-forever extension — the standard animation marker
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, depth)
+    for f, delay in zip(frames, delays_cs):
+        if len(frames) > 1:
+            out += b"\x21\xf9" + _gif_subblocks(
+                struct.pack("<BHB", 0, int(delay), 0)
+            )
+        ilace = interlace and len(frames) == 1
+        out.append(0x2C)  # image separator
+        out += struct.pack("<HHHHB", 0, 0, w, h, 0x40 if ilace else 0)
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3)], np.int32
+        ).reshape(h, w)
+        if ilace:
+            idx = idx[_deinterlace_rows(h)]
+        out.append(mcs)
+        out += _gif_subblocks(_lzw_encode(mcs, idx.reshape(-1)))
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # seam adapters
 # ---------------------------------------------------------------------------
 
@@ -1630,6 +1956,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             arr = arr[:, :, :3]
     elif payload[:2] == b"\xff\xd8":
         arr = decode_jpeg(payload)
+    elif payload[:4] == b"GIF8":
+        arr = decode_gif(payload)
     else:
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
     if arr.ndim == 2:
@@ -1637,15 +1965,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     return arr
 
 
-def image_feature(payload: bytes, modality: str) -> list[float]:
-    """REAL decoder for the ``extract_media_features`` seam: decodes
-    PPM/PGM/BMP and emits FEATURE_DIM real statistics —
+def _array_feature(rgb: np.ndarray) -> list[float]:
+    """FEATURE_DIM statistics of a decoded (h, w, 3) uint8 array —
     [w/4096, h/4096, mean_r, mean_g, mean_b, std_luma, aspect
     (w/(w+h)), fill_ratio (fraction of non-zero pixels)], all in
     [0, 1], float32-rounded for cross-platform stability."""
-    if modality != "image":
-        raise ValueError(f"image_feature got modality {modality!r}")
-    arr = decode_image(payload).astype(np.float64) / 255.0
+    arr = rgb.astype(np.float64) / 255.0
     h, w = arr.shape[:2]
     luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
     feats = [
@@ -1659,6 +1984,15 @@ def image_feature(payload: bytes, modality: str) -> list[float]:
         float((arr.max(axis=2) > 0).mean()),
     ]
     return [float(np.float32(x)) for x in feats]
+
+
+def image_feature(payload: bytes, modality: str) -> list[float]:
+    """REAL decoder for the ``extract_media_features`` seam: decodes
+    any :func:`decode_image` format and emits the FEATURE_DIM
+    statistics of :func:`_array_feature`."""
+    if modality != "image":
+        raise ValueError(f"image_feature got modality {modality!r}")
+    return _array_feature(decode_image(payload))
 
 
 def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
@@ -1688,6 +2022,10 @@ def image_resizer(payload: bytes, tw: int, th: int) -> bytes:
         arr, qt = decode_jpeg(payload, return_quant=True)
         quant = (qt[0], qt.get(1, qt[0]))
         return encode_jpeg(resize_nearest(arr, tw, th), quant=quant)
+    elif payload[:4] == b"GIF8":
+        # nearest-neighbor keeps the palette: a resized GIF is still
+        # <= 256 colors, so the lossless-only encoder always accepts
+        return encode_gif(resize_nearest(decode_gif(payload), tw, th))
     else:
         raise ValueError(f"unrecognized image magic {magic!r}")
     out = resize_nearest(arr, tw, th)

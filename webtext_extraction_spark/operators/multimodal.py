@@ -124,7 +124,8 @@ def extract_media_features(
         raise NotImplementedError(
             "real media decode requires a decoder callable — pass "
             "decoder=operators.codecs.media_feature for image "
-            "(PPM/PGM/BMP/PNG/baseline-JPEG) and audio (16-bit PCM "
+            "(PPM/PGM/BMP/PNG/GIF/baseline+progressive-JPEG) and audio "
+            "(16-bit PCM "
             "WAV) payloads (dependency-free), a PIL/ffmpeg-backed "
             "callable for the remaining compressed formats (not "
             "available in this environment), or run with "
@@ -187,7 +188,7 @@ def resize_media(
         raise NotImplementedError(
             "real media resize requires a resizer callable — pass "
             "resizer=operators.codecs.image_resizer for "
-            "PPM/PGM/BMP/PNG/baseline-JPEG payloads (dependency-free), "
+            "PPM/PGM/BMP/PNG/GIF/JPEG payloads (dependency-free), "
             "a PIL/ffmpeg-backed callable for the remaining compressed "
             "formats (not available in this environment), or run with "
             "decode_stub=True"
@@ -242,9 +243,11 @@ def extract_video_frames(
     implements it dependency-free for MJPEG AVI — the container walk
     is O(#chunks) header hops and ONLY sampled frames are
     entropy-decoded, so ``every_n`` cuts decode cost proportionally
-    (the property the plan half's fan-out models).  Non-MJPEG codecs
-    (H.264, VP9, …) genuinely need ffmpeg: ``decode_stub=False`` with
-    no decoder raises.  The stub path derives deterministic fake
+    (the property the plan half's fan-out models) — and for animated
+    GIF (frames composite on prior state, so every frame LZW-decodes
+    but only sampled ones reduce to features).  Inter-frame-predicted
+    codecs (H.264, VP9, …) genuinely need ffmpeg: ``decode_stub=False``
+    with no decoder raises.  The stub path derives deterministic fake
     features from md5(payload ‖ ':' ‖ frame_idx) with
     ``meta_duration_frames`` as the frame count — SQL-replayable like
     ``_fake_feature``.
