@@ -2305,3 +2305,171 @@ def test_remove_duplicate_spans_set_path_plan(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_token_entropy_hand_computed(spark):
+    """H = log2(n) - (sum c*log2(c))/n against a pure-Python replay of
+    the exact rounding rule; zero-token / NULL docs drop."""
+    import hashlib as _hl
+    import math as _math
+    from collections import Counter as _Counter
+
+    rows = [
+        (1, "a a a a"),           # one token repeated: H = 0 exactly
+        (2, "the cat sat on the mat"),
+        (3, "x"),                 # n = 1: log2(1) = 0
+        (4, None),
+        (5, ""),
+        (6, "b c b c b d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _ph(s):
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    def _ref(text):
+        ws = [w for w in (text or "").split() if w]
+        if not ws:
+            return None
+        c = _Counter(_ph(w) for w in ws)
+        n = len(ws)
+        s = 0.0
+        for _, t in sorted((th, round(k * _math.log2(k), 6)) for th, k in c.items()):
+            s += t
+        return (n, len(c), round(_math.log2(n) - s / n, 6))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["distinct_tokens"], r["entropy_bits"])
+        for r in textstats.token_entropy(df, "doc_id", "text").collect()
+    }
+    for did, text in rows:
+        assert got.get(did) == _ref(text), (did, got.get(did), _ref(text))
+    assert got[1][2] == 0.0  # repeated token: exactly zero
+    assert got[2][2] > got[6][2] > got[1][2]  # diversity orders as expected
+
+
+def test_bigram_logprob_hand_computed_and_backoff_ladder(spark):
+    """Inline and supplied-model paths vs a pure-Python replay; the
+    held-out model path exercises all three backoff branches."""
+    import hashlib as _hl
+    import math as _math
+    from collections import Counter as _Counter
+
+    rows = [
+        (1, "a a a a"),
+        (2, "the cat sat on the mat"),
+        (3, "x"),
+        (4, None),
+        (6, "b c b c b d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _ph(s):
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    def _bigrams(text):
+        ws = [w for w in (text or "").split() if w]
+        return [
+            (_ph(ws[i]), _ph(ws[i] + " " + ws[i + 1])) for i in range(len(ws) - 1)
+        ]
+
+    def _ref(text, model, c1, total):
+        bs = _bigrams(text)
+        if not bs:
+            return None
+        lps = []
+        for h1, h12 in bs:
+            if (h1, h12) in model:
+                lp = round(_math.log(model[(h1, h12)] / c1[h1]), 6)
+            elif h1 in c1:
+                lp = round(_math.log(0.5 / c1[h1]), 6)
+            else:
+                lp = round(_math.log(0.5 / total), 6)
+            lps.append((h1, h12, lp))
+        lps.sort()
+        s = 0.0
+        for *_, lp in lps:
+            s += lp
+        return (len(bs), round(s / len(bs), 6))
+
+    # inline-learn path
+    model = _Counter()
+    for _, text in rows:
+        for pr in _bigrams(text):
+            model[pr] += 1
+    c1 = _Counter()
+    for (h1, _), c in model.items():
+        c1[h1] += c
+    total = sum(model.values())
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_mean"])
+        for r in textstats.bigram_logprob(df, "doc_id", "text").collect()
+    }
+    for did, text in rows:
+        assert got.get(did) == _ref(text, model, c1, total), did
+    assert 3 not in got and 4 not in got  # <2-token docs drop
+
+    # held-out model (docs 1-3 only) scoring docs 2 and 6: doc 6's
+    # tokens are entirely unseen (prefix-OOV branch), doc 2 is seen
+    mdf = textstats.bigram_frequencies(df.filter("doc_id <= 3"), "text")
+    m2 = _Counter()
+    for _, text in rows[:3]:
+        for pr in _bigrams(text):
+            m2[pr] += 1
+    c1b = _Counter()
+    for (h1, _), c in m2.items():
+        c1b[h1] += c
+    t2 = sum(m2.values())
+    got2 = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_mean"])
+        for r in textstats.bigram_logprob(
+            df.filter("doc_id in (2, 6)"), "doc_id", "text", model=mdf
+        ).collect()
+    }
+    for did in (2, 6):
+        text = dict(rows)[did]
+        assert got2[did] == _ref(text, m2, c1b, t2), did
+    # OOV text scores strictly worse than in-model text
+    assert got2[6][1] < got2[2][1]
+    # empty model -> empty result (documented)
+    empty_model = textstats.bigram_frequencies(
+        df.filter("doc_id = 4"), "text"
+    )
+    assert (
+        textstats.bigram_logprob(df, "doc_id", "text", model=empty_model).count()
+        == 0
+    )
+
+
+def test_shuffle_corpus_permutation_deterministic(spark):
+    """Positions are a permutation of 1..N, equal to the rank by
+    (portable_hash64(salt|id), id), identical across partition counts
+    and runs; a different salt draws a different permutation."""
+    import hashlib as _hl
+
+    def _ph(s):
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    big = spark.range(0, 500).selectExpr("id AS doc_id")
+    out = textstats.shuffle_corpus(big, "doc_id", num_partitions=7).collect()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(1, 501))
+    order = sorted(range(500), key=lambda i: (_ph("shuffle-v1|" + str(i)), i))
+    exp = {did: k + 1 for k, did in enumerate(order)}
+    for r in out:
+        assert exp[r["doc_id"]] == r["shuffle_pos"]
+    again = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in textstats.shuffle_corpus(big, "doc_id", num_partitions=3).collect()
+    }
+    assert all(again[r["doc_id"]] == r["shuffle_pos"] for r in out)
+    other = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in textstats.shuffle_corpus(big, "doc_id", salt="v2").collect()
+    }
+    assert sorted(other.values()) == list(range(1, 501))
+    assert any(other[d] != exp[d] for d in other)  # a fresh permutation
+    # empty input -> empty result with the contract schema
+    empty = textstats.shuffle_corpus(
+        big.filter("doc_id < 0"), "doc_id"
+    )
+    assert empty.count() == 0 and empty.columns == ["doc_id", "shuffle_pos"]

@@ -574,3 +574,60 @@ def test_hll_tfidf_inverted_index_no_python_no_text_shuffle(spark, tmp_path):
         assert _node_ids(plan, "BatchEvalPython") == 0
         for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
             assert "text#" not in m.group(0)
+
+
+def test_token_entropy_shuffles_hashes_not_text(spark, tmp_path):
+    """Both aggregation shuffles carry (id, token-hash, count) — the
+    text column itself never enters an Exchange."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.textstats import token_entropy
+
+    p = str(tmp_path / "docs_ent")
+    spark.createDataFrame(
+        [(i, "w%d common words here" % (i % 3)) for i in range(9)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(token_entropy(spark.read.parquet(p), "doc_id", "text"))
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
+
+
+def test_bigram_logprob_shuffles_hashes_not_text(spark, tmp_path):
+    """The model groupBy and both scoring joins move (h1, h12,
+    counts) — 16-byte keys, never the text column."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.textstats import (
+        bigram_frequencies,
+        bigram_logprob,
+    )
+
+    p = str(tmp_path / "docs_blm")
+    spark.createDataFrame(
+        [(i, "w%d common words here w%d" % (i % 3, i % 2)) for i in range(9)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    out = bigram_logprob(
+        docs, "doc_id", "text", model=bigram_frequencies(docs, "text")
+    )
+    plan = _plan(out)
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
+
+
+def test_shuffle_corpus_no_single_partition_exchange(spark, tmp_path):
+    """The global shuffle position must come from range partitions +
+    driver offsets — never an `Exchange SinglePartition` global-sort
+    task; only (id, ticket) rows ride the range shuffle."""
+    from webtext_extraction_spark.operators.textstats import shuffle_corpus
+
+    p = str(tmp_path / "docs_shuf")
+    spark.createDataFrame(
+        [(i, "payload %d" % i) for i in range(200)], ["doc_id", "text"]
+    ).write.parquet(p)
+    out = shuffle_corpus(spark.read.parquet(p), "doc_id", num_partitions=4)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "text#" not in plan  # payload column pruned before the shuffle

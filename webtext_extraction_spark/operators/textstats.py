@@ -1140,3 +1140,280 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "bpe_tokens",
         fingerprint_expr(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits)
+    — the diversity-for-length quality signal complementing
+    :func:`repetition_profile`'s Gopher ratios: templated or looping
+    text scores low for its length, fluent prose sits in the corpus
+    band, random token soup approaches ``log2(n_tokens)``.  Threshold
+    low-entropy-for-length docs out, or feed the column to curation
+    composites alongside quality_score.
+
+    Cross-engine exactness: ``H = log2(n) - (sum_t c_t*log2(c_t))/n``
+    with each ``c*log2(c)`` term rounded to 6 dp FIRST, then summed in
+    token-hash-sorted order (unigram_logprob's sorted-sum rule;
+    after the count groupBy, token hashes are UNIQUE per document, so
+    the sort order is total and both engines add identical doubles in
+    an identical order).  ``c = 1`` contributes exactly ``0.0`` on
+    both engines; a doc of n copies of one token scores exactly 0.
+
+    Shape: one tokenize, one explode of HASHED tokens (8-byte rows —
+    text never shuffles), groupBy (id, hash) with map-side partial
+    aggregation collapsing hot tokens before the shuffle, then a
+    groupBy id whose rows carry one (hash, double) struct per DISTINCT
+    token.  Zero-token docs drop (explode of an empty array — keep
+    them with a caller-side left join, the repetition_profile
+    contract).
+
+    Output: (id, n_tokens int, distinct_tokens int, entropy_bits
+    double).
+    """
+    counts = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(words(F.col(text_col)), portable_hash64)
+            ).alias("th"),
+        )
+        .groupBy("_id", "th")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    term = F.round(
+        F.col("c").cast("double") * F.log2(F.col("c").cast("double")), 6
+    )
+    agg = counts.groupBy("_id").agg(
+        F.sum("c").cast("long").alias("_n"),
+        F.count("*").cast("int").alias("distinct_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("th"), term.alias("t")))
+        ).alias("_tt"),
+    )
+    sum_t = F.aggregate(F.col("_tt"), F.lit(0.0), lambda acc, s: acc + s["t"])
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("int").alias("n_tokens"),
+        "distinct_tokens",
+        F.round(
+            F.log2(F.col("_n").cast("double"))
+            - sum_t / F.col("_n").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+def bigram_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus bigram counts keyed by HASHED (prefix, pair): ``(h1:
+    bigint, h12: bigint, cnt: bigint)`` with ``h1 =
+    portable_hash64(w1)`` and ``h12 = portable_hash64(w1 || ' ' ||
+    w2)``.  This ONE table is the whole order-2 model artifact
+    :func:`bigram_logprob` consumes: prefix totals (``c1 = sum(cnt)
+    group by h1``) and the grand total derive from it, so conditional
+    probabilities ``P(w2|w1) = c12/c1`` are self-consistent by
+    construction (``c1`` counts w1 *as a bigram prefix*, not raw
+    unigram occurrences — the distinction only matters at document
+    tails and keeps the model a single persistable table, the
+    remove_boilerplate ``grams=`` / unigram ``freqs=`` story).
+
+    One tokenize (materialized once into a column — no re-tokenize
+    per reference), one explode, one groupBy shuffle of 16-byte keys;
+    documents with < 2 tokens contribute nothing (the pair array is
+    NULL and explode drops it).
+    """
+    base = df.select(words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    pair = F.explode(
+        F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    portable_hash64(F.element_at(ws, i)).alias("h1"),
+                    portable_hash64(
+                        F.concat(
+                            F.element_at(ws, i),
+                            F.lit(" "),
+                            F.element_at(ws, i + 1),
+                        )
+                    ).alias("h12"),
+                ),
+            ),
+        )
+    ).alias("_p")
+    return (
+        base.select(pair)
+        .select(F.col("_p.h1").alias("h1"), F.col("_p.h12").alias("h12"))
+        .groupBy("h1", "h12")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-family order-2 LM quality score: per document, the mean
+    conditional log-probability of its adjacent token pairs under a
+    corpus bigram model (Wenzek et al. 2020 filter with a 5-gram
+    KenLM; this is the same filter family one order up from
+    :func:`unigram_logprob`, with an exactly-replayable model).
+    Fluent text chains common bigrams and scores high; shuffled or
+    machine-mangled text with plausible unigrams but improbable
+    transitions — which the unigram score cannot see — scores low.
+
+    ``model``: optional precomputed :func:`bigram_frequencies` table
+    (learn once per snapshot, persist, score any table — including
+    held-out text full of unseen pairs); ``None`` learns it inline
+    from ``df`` (second text scan, documented).
+
+    Per-pair backoff ladder (every branch exactly replayable):
+    pair seen → ``ln(c12/c1)``; prefix seen, pair unseen →
+    ``ln(0.5/c1)``; prefix unseen → ``ln(0.5/total)``.  Each logprob
+    is rounded to 6 dp FIRST, then summed in (h1, h12)-sorted order
+    (equal keys ⇒ equal values under a fixed model, so ties commute
+    — the unigram sorted-sum rule).
+
+    Shape: tokenize once into a column, explode (h1, h12) pairs —
+    16-byte rows, text never shuffles — LEFT JOIN the model on (h1,
+    h12), LEFT JOIN derived prefix totals on h1, groupBy doc.  The
+    scoring joins are the hot-key stage (a stopword prefix is a big
+    share of any corpus) — the AQE skew-join shape, same note as
+    unigram_logprob.  Documents with < 2 tokens drop.
+
+    Output: (id, n_bigrams int, logprob_mean double).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
+    toks = base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        portable_hash64(F.element_at(ws, i)).alias("h1"),
+                        portable_hash64(
+                            F.concat(
+                                F.element_at(ws, i),
+                                F.lit(" "),
+                                F.element_at(ws, i + 1),
+                            )
+                        ).alias("h12"),
+                    ),
+                ),
+            )
+        ).alias("_p"),
+    ).select("_id", F.col("_p.h1").alias("h1"), F.col("_p.h12").alias("h12"))
+    if model is None:
+        model = bigram_frequencies(df, text_col)
+    total = model.agg(F.sum("cnt")).collect()[0][0] or 0
+    spark = df.sparkSession
+    if total == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_bigrams int, logprob_mean double"
+        )
+    prefixes = model.groupBy("h1").agg(F.sum("cnt").cast("long").alias("c1"))
+    scored = (
+        toks.join(model.withColumnRenamed("cnt", "c12"), ["h1", "h12"], "left")
+        .join(prefixes, "h1", "left")
+        .select(
+            "_id",
+            "h1",
+            "h12",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.round(
+                    F.log(
+                        F.col("c12").cast("double") / F.col("c1").cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .when(
+                F.col("c1").isNotNull(),
+                F.round(F.log(F.lit(0.5) / F.col("c1").cast("double")), 6),
+            )
+            .otherwise(F.round(F.log(F.lit(0.5) / F.lit(float(total))), 6))
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy("_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("h1", "h12", "lp"))).alias("_tl"),
+    )
+    sum_lp = F.aggregate(F.col("_tl"), F.lit(0.0), lambda acc, s: acc + s["lp"])
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round(sum_lp / F.col("n_bigrams"), 6).cast("double").alias(
+            "logprob_mean"
+        ),
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle-v1",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    unique position 1..N in a pseudo-random but fully reproducible
+    order — the "shuffle the corpus before sequence packing" step of
+    a training pipeline, with the sample_mix determinism story: no
+    RNG, the same corpus yields the same order on every engine, run,
+    and cluster size (change ``salt`` to draw a fresh permutation).
+    Order key = ``(portable_hash64(salt‖id), id)`` — the id tiebreak
+    makes the order total even under hash collisions.
+
+    Shape (global_percentiles' range-partition + driver-offset move —
+    NO single-task global sort): only (id, ticket) rows ride the
+    range shuffle (payloads stay put; join the result back on id),
+    ``localCheckpoint`` pins one boundary draw, a tiny driver job
+    collects ``num_partitions`` per-partition counts whose prefix
+    sums are exclusive rank offsets, and a per-partition row_number
+    (each task sorts only its own range) plus the broadcast offset is
+    the GLOBAL position.
+
+    Output: (id, shuffle_pos long) — a permutation of 1..N.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ticket = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    ranged = (
+        df.select(F.col(id_col).alias("_id"), ticket.alias("_t"))
+        .repartitionByRange(num_partitions, F.col("_t"), F.col("_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        return spark.createDataFrame([], f"{id_col} long, shuffle_pos long")
+    off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_t", "_id")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "shuffle_pos",
+            (F.row_number().over(w).cast("long") + F.col("_off")),
+        )
+        .select(F.col("_id").alias(id_col), "shuffle_pos")
+    )
