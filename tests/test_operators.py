@@ -2473,3 +2473,111 @@ def test_shuffle_corpus_permutation_deterministic(spark):
         big.filter("doc_id < 0"), "doc_id"
     )
     assert empty.count() == 0 and empty.columns == ["doc_id", "shuffle_pos"]
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against a full python replay of the documented arithmetic
+    (Lucene idf, k1=1.2 b=0.75, per-term round-6 then hash-sorted
+    sum): exact scores, ranks, and row set — including set semantics
+    for duplicate query tokens, a no-hit query yielding nothing, and
+    zero-token docs excluded from N/avgdl."""
+    import hashlib as _hl
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "cat dog cat dog",
+        4: "quantum flux capacitor quantum flux",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()] + [(5, "")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        # "cat cat mat": duplicate token counts once
+        [(100, "cat cat mat"), (101, "quantum"), (102, "zzz")],
+        "query_id long, query_text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in textstats.bm25_topk(docs, "doc_id", "text", qs, k=3).collect()
+    )
+
+    toks = {i: s.split() for i, s in corpus.items()}
+    n, avgdl = 4, sum(len(v) for v in toks.values()) / 4.0
+    dfreq: dict = {}
+    for ws in toks.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    def _ph(s):
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    def expect(qid, qtext):
+        out = []
+        for i, ws in toks.items():
+            parts = []
+            for t in set(qtext.split()):
+                if t not in dfreq or t not in ws:
+                    continue
+                tfv, dl = ws.count(t), len(ws)
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                tfc = tfv * (1.2 + 1) / (
+                    tfv + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                )
+                parts.append((_ph(t), round(idf * tfc, 6)))
+            if parts:
+                s = round(sum(p for _, p in sorted(parts)), 6)
+                out.append((i, len(parts), s))
+        out.sort(key=lambda x: (-x[2], x[0]))
+        return [(qid, i, c, s, r + 1) for r, (i, c, s) in enumerate(out[:3])]
+
+    assert got == sorted(expect(100, "cat cat mat") + expect(101, "quantum"))
+    with pytest.raises(ValueError, match="k must"):
+        textstats.bm25_topk(docs, "doc_id", "text", qs, k=0)
+    with pytest.raises(ValueError, match="k1"):
+        textstats.bm25_topk(docs, "doc_id", "text", qs, b=1.5)
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    """PMI collocations vs a python replay: prefix/suffix totals from
+    the pair table, double-product ratio, round-6, min_count floor,
+    (pmi desc, w1, w2) total order."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cat dog cat dog"),
+        (4, "quantum flux capacitor quantum flux"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in textstats.pmi_bigrams(df, "text", min_count=2, k=10).collect()
+    ]
+
+    pairs: dict = {}
+    for _, t in rows:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    c1: dict = {}
+    c2: dict = {}
+    for (a, b), c in pairs.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    total = float(sum(pairs.values()))
+    exp = [
+        (a, b, c, c1[a], c2[b], round(math.log(c * total / (c1[a] * c2[b])), 6))
+        for (a, b), c in pairs.items()
+        if c >= 2
+    ]
+    exp.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert got == exp[:10]
+    # hapax floor: min_count=1 admits ('the','cat') etc.
+    loose = textstats.pmi_bigrams(df, "text", min_count=1, k=100).count()
+    assert loose == len(pairs)
+    with pytest.raises(ValueError, match="min_count"):
+        textstats.pmi_bigrams(df, "text", min_count=0)
+    with pytest.raises(ValueError, match="k must"):
+        textstats.pmi_bigrams(df, "text", k=0)

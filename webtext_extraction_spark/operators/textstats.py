@@ -1357,6 +1357,193 @@ def bigram_logprob(
     )
 
 
+def pmi_bigrams(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: ``PMI(w1,
+    w2) = ln(c12·total / (c1·c2))`` over adjacent token pairs — the
+    corpus-analysis signal that separates genuine multi-word units
+    ("new york") from frequent-but-independent pairs, and a
+    tokenizer-merge / phrase-mining input in a training-data pipeline.
+
+    Counting convention matches :func:`bigram_frequencies`: ``c1`` /
+    ``c2`` are the word's totals *as a bigram prefix / suffix* (both
+    derive from the pair table itself), so probabilities are
+    self-consistent by construction.  ``min_count`` floors ``c12`` —
+    PMI's known pathology is hapax pairs of hapax words scoring
+    maximal, so an unfloored top-k is all noise.
+
+    Cross-engine exactness: the ratio is computed in doubles as
+    ``(c12·total) / (c1·c2)`` (products of exact integer-valued
+    doubles), one ``ln``, round 6; ranking uses the ROUNDED value
+    with the (w1, w2) byte-order tie-break, so a sub-ULP libm/JVM
+    ``ln`` difference cannot flip a rank without first flipping a
+    hashed value (the tfidf_top_terms rule).
+
+    Shape: one tokenize, one explode of (w1, w2) token pairs (short
+    strings — the one operator family whose output IS words, so words
+    ride this shuffle by design), pair groupBy, two derived totals
+    joined back on their word key (hot stopword keys are AQE
+    skew-join territory), broadcast 1-row total, global top-k via
+    orderBy+limit (driver-bounded by ``k``).
+
+    Output: (w1, w2, c12, c1, c2, pmi) — ``k`` rows.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    pairs = base.select(
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("double").alias("_total"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("_total"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        c12.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson-Walker-Jones family,
+    Lucene's non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``)
+    — the lexical-retrieval baseline beside the ANN stack, and the
+    sparse half of a hybrid retriever.  Duplicate query tokens count
+    once (set semantics — the common web-search convention; qtf
+    weighting is a caller-side extension).
+
+    Cross-engine exactness: per-(query, doc, term) partial scores are
+    rounded to 6 dp FIRST, summed in term-hash-sorted order (terms
+    are unique per (query, doc) pair after the tf groupBy, so the
+    order is total), the sum rounded again, and ranking uses the
+    ROUNDED score with the doc-id tie-break — the tfidf_top_terms
+    determinism rule.  ``avgdl`` is ``sum(dl)/N`` computed in doubles
+    on both engines; ``k1``/``b`` arithmetic keeps the exact
+    expression shape (``k1 + 1``, ``1 - b + b·dl/avgdl``) so the same
+    IEEE ops run on both sides.
+
+    Shape at scale — the query side never forces a corpus shuffle:
+    doc tf is ONE groupBy with dl riding the key (functionally
+    dependent on id, so no extra groups and no doclen join); the
+    corpus term-frequency table joins a BROADCAST of the exploded
+    query terms, producing a tiny (query, term, df_t) table that is
+    itself broadcast into the tf join — the posting-list intersection
+    is two broadcast hash joins, never a sort-merge on the corpus
+    side.  Corpus stats (N, avgdl) ride as a broadcast 1-row
+    aggregate.  Zero-token docs and zero-token queries contribute
+    nothing; a query whose terms all miss the corpus yields no rows.
+
+    Output: (query_id, <id_col>, n_terms int, score double, rank
+    int) — up to ``k`` rows per query.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 < 0 or b < 0 or b > 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    base = df.select(
+        F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+    ).filter(F.size("_ws") >= 1)
+    toks = base.select(
+        "_id", F.size("_ws").alias("_dl"), F.explode("_ws").alias("term")
+    )
+    tf = toks.groupBy("_id", "_dl", "term").agg(
+        F.count("*").cast("long").alias("_tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("_df"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("_n_docs"),
+        (
+            F.sum(F.size("_ws")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
+    )
+    qinfo = dfreq.join(F.broadcast(qterms), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs").cast("double") - F.col("_df").cast("double") + 0.5)
+        / (F.col("_df").cast("double") + 0.5)
+    )
+    tfc = (F.col("_tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("_tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qinfo), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_qid",
+            "_id",
+            portable_hash64(F.col("term")).alias("_th"),
+            F.round(idf * tfc, 6).alias("_s"),
+        )
+    )
+    agg = scored.groupBy("_qid", "_id").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.array_sort(F.collect_list(F.struct("_th", "_s"))).alias("_tl"),
+    )
+    sum_s = F.aggregate(F.col("_tl"), F.lit(0.0), lambda acc, s: acc + s["_s"])
+    ranked = agg.select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_id").alias(id_col),
+        "n_terms",
+        F.round(sum_s, 6).cast("double").alias("score"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.desc("score"), F.asc(id_col)
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
 def shuffle_corpus(
     df: DataFrame,
     id_col: str,
