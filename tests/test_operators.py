@@ -2581,3 +2581,88 @@ def test_pmi_bigrams_hand_computed(spark):
         textstats.pmi_bigrams(df, "text", min_count=0)
     with pytest.raises(ValueError, match="k must"):
         textstats.pmi_bigrams(df, "text", k=0)
+
+
+def test_quality_gate_hand_computed(spark):
+    """quality_gate vs a python replay of every rule: each fail bit
+    exercised in isolation, combined masks, exact int/int ratios,
+    NULL/empty docs keeping a row with the word-count verdict."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),   # clean: passes
+        (2, "hi"),                                    # too few words
+        (3, " ".join("w%d" % i for i in range(30))),  # too many (max 20)
+        (4, "a b c d e f"),                           # mean word len 1
+        (5, "xx " * 8 + "xx"),                        # dup frac 8/9
+        (6, "supercalifragilistic word other words here x2"),  # long token
+        (7, "日本語 テキスト 抽出 処理 変換 です"),        # alpha floor
+        (8, None),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        min_words=3, max_words=20, min_mean_word_len=1.5,
+        max_mean_word_len=12.0, min_stop_ratio=0.0, max_word_len=15,
+        max_dup_word_frac=0.5, min_alpha_ratio=0.5,
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.quality_gate(df, "doc_id", "text", **kw).collect()
+    }
+    assert len(got) == 9
+
+    stops = set(textstats.EN_STOPWORDS)
+    for doc_id, text in rows:
+        ws = (text or "").split()
+        n, nz = len(ws), max(len(ws), 1)
+        exp = {
+            "n_words": n,
+            "mean_word_len": round(sum(len(w) for w in ws) / nz, 6),
+            "stop_ratio": round(
+                sum(1 for w in ws if w.lower() in stops) / nz, 6
+            ),
+            "max_word_len": max((len(w) for w in ws), default=0),
+            "dup_word_frac": round((n - len(set(ws))) / nz, 6),
+            "alpha_ratio": round(
+                sum(1 for c in (text or "") if c.isascii()
+                    and (c.isalpha() or c == " "))
+                / max(len(text or ""), 1), 6
+            ),
+        }
+        mask = 0
+        if exp["n_words"] < kw["min_words"]:
+            mask |= textstats.GATE_TOO_FEW_WORDS
+        if exp["n_words"] > kw["max_words"]:
+            mask |= textstats.GATE_TOO_MANY_WORDS
+        if not (
+            kw["min_mean_word_len"] <= exp["mean_word_len"]
+            <= kw["max_mean_word_len"]
+        ):
+            mask |= textstats.GATE_MEAN_WORD_LEN
+        if exp["stop_ratio"] < kw["min_stop_ratio"]:
+            mask |= textstats.GATE_STOPWORDS
+        if exp["max_word_len"] > kw["max_word_len"]:
+            mask |= textstats.GATE_MAX_WORD_LEN
+        if exp["dup_word_frac"] > kw["max_dup_word_frac"]:
+            mask |= textstats.GATE_DUP_WORDS
+        if exp["alpha_ratio"] < kw["min_alpha_ratio"]:
+            mask |= textstats.GATE_ALPHA
+        exp["fail_mask"] = mask
+        exp["passes"] = mask == 0
+        g = dict(got[doc_id])
+        g.pop("doc_id")
+        assert g == exp, f"doc {doc_id}: {g} != {exp}"
+
+    # bit sanity: the intended dedicated bit trips on each planted doc
+    assert got[1]["passes"]
+    assert got[2]["fail_mask"] & textstats.GATE_TOO_FEW_WORDS
+    assert got[3]["fail_mask"] & textstats.GATE_TOO_MANY_WORDS
+    assert got[4]["fail_mask"] & textstats.GATE_MEAN_WORD_LEN
+    assert got[5]["fail_mask"] & textstats.GATE_DUP_WORDS
+    assert got[6]["fail_mask"] & textstats.GATE_MAX_WORD_LEN
+    assert got[7]["fail_mask"] & textstats.GATE_ALPHA
+    assert got[8]["fail_mask"] & textstats.GATE_TOO_FEW_WORDS
+    assert got[9]["fail_mask"] & textstats.GATE_TOO_FEW_WORDS
+    with pytest.raises(ValueError, match="min_words"):
+        textstats.quality_gate(df, "doc_id", "text", min_words=5, max_words=2)
+    with pytest.raises(ValueError, match="max_word_len"):
+        textstats.quality_gate(df, "doc_id", "text", max_word_len=0)

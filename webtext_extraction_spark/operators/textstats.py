@@ -33,6 +33,16 @@ from webtext_extraction_spark.functions.text import (
 )
 
 EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+# quality_gate fail-reason bits (stable public contract — downstream
+# jobs select on the mask, so values never change meaning)
+GATE_TOO_FEW_WORDS = 1
+GATE_TOO_MANY_WORDS = 2
+GATE_MEAN_WORD_LEN = 4
+GATE_STOPWORDS = 8
+GATE_MAX_WORD_LEN = 16
+GATE_DUP_WORDS = 32
+GATE_ALPHA = 64
 FP_MOD = 1_000_000_007
 FP_TOKEN_MOD = 1_000_003
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1200,6 +1210,121 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             - sum_t / F.col("_n").cast("double"),
             6,
         ).alias("entropy_bits"),
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_ratio: float = 0.0,
+    max_word_len: int = 50,
+    max_dup_word_frac: float = 1.0,
+    min_alpha_ratio: float = 0.0,
+) -> DataFrame:
+    """Gopher/FineWeb-family composite quality filter: the standard
+    rule battery a training-data pipeline runs FIRST (Rae et al. 2021
+    table A1; FineWeb's "quality filtering" stage), with each rule's
+    verdict recorded as a bit in ``fail_mask`` so downstream jobs can
+    select on *why* a doc failed, not just that it did.  Defaults
+    disable the optional rules (stop-ratio / dup-frac / alpha floors
+    at their vacuous bounds) — callers opt in per corpus.
+
+    Signals, all per-document:
+
+    - ``n_words``        whitespace tokens (bits 1/2: outside
+      [min_words, max_words])
+    - ``mean_word_len``  word char mass / n_words — characters INSIDE
+      words, not counting separators (bit 4: outside [min, max])
+    - ``stop_ratio``     EN_STOPWORDS hits / n_words (bit 8: below
+      floor — the Gopher "≥2 stop words" rule generalized)
+    - ``max_word_len``   longest token (bit 16: above cap — the
+      minified-JS / base64-blob tell)
+    - ``dup_word_frac``  (n_words - distinct words) / n_words (bit 32:
+      above cap — the cheap within-doc repetition rule; the full
+      n-gram battery is :func:`repetition_profile`)
+    - ``alpha_ratio``    [A-Za-z ] char share (bit 64: below floor —
+      symbol soup / binary spill)
+
+    Cross-engine exactness: every ratio is ONE division of two exact
+    integers (bit-identical IEEE on both engines), rounded to 6 dp,
+    and every threshold compares against the ROUNDED value — so a
+    doc sitting exactly on a threshold gates identically in Spark,
+    DuckDB, and python.  Zero-token (NULL/empty) docs keep a row:
+    ratios are 0 by convention and the word-count floor owns the
+    verdict (no /0 under ANSI — denominators are greatest(n, 1)).
+
+    Shape (100 TB): ONE projection over the text scan — zero shuffle,
+    zero Python, whole-stage codegen end-to-end; array ops are linear
+    per doc (array_distinct is hash-based, no quadratic HOF).  The
+    filter composes with predicate pushdown: ``passes`` is a plain
+    boolean column, so ``.filter("passes")`` keeps the gate inside
+    the scan stage of whatever reads it.
+
+    Output: (id, n_words int, mean_word_len double, stop_ratio
+    double, max_word_len int, dup_word_frac double, alpha_ratio
+    double, fail_mask int, passes boolean).
+    """
+    if min_words < 0 or max_words < min_words:
+        raise ValueError(
+            f"need 0 <= min_words <= max_words, got {min_words}/{max_words}"
+        )
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    ws = F.coalesce(
+        words(F.col(text_col)), F.array().cast("array<string>")
+    )
+    n = F.size(ws).cast("long")
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    stop_hits = F.size(
+        F.filter(ws, lambda w: F.lower(w).isin(EN_STOPWORDS))
+    ).cast("long")
+    longest = F.coalesce(
+        F.array_max(F.transform(ws, F.length)), F.lit(0)
+    ).cast("int")
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    total_chars = F.greatest(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))), F.lit(1)
+    ).cast("double")
+    alpha_chars = _char_count(
+        F.coalesce(F.col(text_col), F.lit("")), r"[A-Za-z ]"
+    ).cast("double")
+    base = df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        F.round(word_chars.cast("double") / nz, 6).alias("mean_word_len"),
+        F.round(stop_hits.cast("double") / nz, 6).alias("stop_ratio"),
+        longest.alias("max_word_len"),
+        F.round((n - n_distinct).cast("double") / nz, 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(alpha_chars / total_chars, 6).alias("alpha_ratio"),
+    )
+    mask = (
+        F.when(F.col("n_words") < min_words, GATE_TOO_FEW_WORDS).otherwise(0)
+        + F.when(F.col("n_words") > max_words, GATE_TOO_MANY_WORDS).otherwise(0)
+        + F.when(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            GATE_MEAN_WORD_LEN,
+        ).otherwise(0)
+        + F.when(F.col("stop_ratio") < min_stop_ratio, GATE_STOPWORDS).otherwise(0)
+        + F.when(F.col("max_word_len") > max_word_len, GATE_MAX_WORD_LEN).otherwise(0)
+        + F.when(
+            F.col("dup_word_frac") > max_dup_word_frac, GATE_DUP_WORDS
+        ).otherwise(0)
+        + F.when(F.col("alpha_ratio") < min_alpha_ratio, GATE_ALPHA).otherwise(0)
+    )
+    return base.withColumn("fail_mask", mask.cast("int")).withColumn(
+        "passes", F.col("fail_mask") == 0
     )
 
 
