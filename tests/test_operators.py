@@ -2666,3 +2666,69 @@ def test_quality_gate_hand_computed(spark):
         textstats.quality_gate(df, "doc_id", "text", min_words=5, max_words=2)
     with pytest.raises(ValueError, match="max_word_len"):
         textstats.quality_gate(df, "doc_id", "text", max_word_len=0)
+
+
+def test_ccnet_buckets_hand_computed(spark):
+    """ccnet_buckets vs a python replay: exact unigram logprobs
+    (round-6 hash-sorted sums), numpy-linear percentile thresholds,
+    >= tie rule on rounded values; zero-token docs drop; tertile
+    counts roughly balanced; empty corpus yields an empty frame."""
+    import numpy as np
+
+    rows = [(i, " ".join(
+        ["common"] * (i % 7 + 1) + ["rare%d" % i] * (i % 3)
+    )) for i in range(1, 31)] + [(99, ""), (100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.ccnet_buckets(df, "doc_id", "text").collect()
+    }
+    assert 99 not in got and 100 not in got and len(got) == 30
+
+    # python replay
+    toks = {i: (t or "").split() for i, t in rows}
+    freqs: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            freqs[w] = freqs.get(w, 0) + 1
+    total = float(sum(freqs.values()))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Spark's Round(double, 6): BigDecimal of the shortest decimal
+        # repr, then HALF_UP — python round() is banker's and diverges
+        # at .5e-6 boundaries
+        return float(Decimal(repr(x)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    lps = {}
+    for i, ws in toks.items():
+        if not ws:
+            continue
+        parts = sorted(
+            (portable_hash64_py(w), r6(math.log(freqs[w] / total)))
+            for w in ws
+        )
+        s = 0.0
+        for _, v in parts:
+            s += v
+        lps[i] = r6(s / len(ws))
+    vals = np.array(sorted(lps.values()))
+    t_lo = r6(float(np.percentile(vals, 100 / 3, method="linear")))
+    t_hi = r6(float(np.percentile(vals, 200 / 3, method="linear")))
+    for i, lp in lps.items():
+        assert got[i]["logprob_mean"] == lp, (i, got[i]["logprob_mean"], lp)
+        exp = "head" if lp >= t_hi else ("middle" if lp >= t_lo else "tail")
+        assert got[i]["bucket"] == exp, (i, lp, t_lo, t_hi, got[i]["bucket"])
+    counts = {b: sum(1 for g in got.values() if g["bucket"] == b)
+              for b in ("head", "middle", "tail")}
+    assert all(c > 0 for c in counts.values()), counts
+
+    empty = textstats.ccnet_buckets(
+        df.filter("doc_id < 0"), "doc_id", "text"
+    )
+    assert empty.count() == 0 and empty.columns == [
+        "doc_id", "n_tokens", "logprob_mean", "bucket"
+    ]
+    with pytest.raises(ValueError, match="cutoffs"):
+        textstats.ccnet_buckets(df, "doc_id", "text", cutoffs=(0.7, 0.3))

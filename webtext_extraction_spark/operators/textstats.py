@@ -544,6 +544,61 @@ def unigram_logprob(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    freqs: DataFrame | None = None,
+    cutoffs: tuple[float, float] = (1 / 3, 2 / 3),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020 §4.4): score every document under the corpus LM
+    (:func:`unigram_logprob`), then split the corpus at the given
+    logprob percentiles — ``head`` is the most-fluent top slice the
+    pipeline trains on first, ``tail`` the noisiest.  The canonical
+    cutoffs are tertiles; pass e.g. ``(0.1, 0.5)`` for an asymmetric
+    split.
+
+    Cross-engine exactness: logprob_mean is the round-6 sorted-sum
+    value (unigram_logprob's rule), the two thresholds are EXACT
+    percentile_cont values computed by :func:`global_percentiles`
+    (round 6), and bucket assignment compares ROUNDED value to
+    ROUNDED threshold with ``>=`` — a doc sitting exactly on a cut
+    buckets identically in Spark and DuckDB.
+
+    Shape (100 TB): the LM learn/score stages shuffle hashed int64s
+    and counts (never text); the percentile pass range-partitions the
+    8-byte logprob column with driver rank offsets (no global sort
+    task); the final bucket assignment is a LITERAL comparison — the
+    two thresholds ride to executors as constants, not a join.
+    Zero-token docs drop (unigram_logprob's contract).
+
+    Output: (id, n_tokens int, logprob_mean double, bucket string).
+    """
+    c_lo, c_hi = float(cutoffs[0]), float(cutoffs[1])
+    if not (0.0 <= c_lo <= c_hi <= 1.0):
+        raise ValueError(
+            f"cutoffs must be ascending fractions in [0, 1], got {cutoffs}"
+        )
+    lp = unigram_logprob(df, id_col, text_col, freqs)
+    th = {
+        r["p"]: r["pct_value"]
+        for r in global_percentiles(
+            lp, "logprob_mean", (c_lo, c_hi), num_partitions
+        ).collect()
+    }
+    if not th:  # empty corpus: nothing scored, nothing bucketed
+        return lp.withColumn("bucket", F.lit("")).limit(0)
+    t_lo, t_hi = th[c_lo], th[c_hi]
+    return lp.withColumn(
+        "bucket",
+        F.when(F.col("logprob_mean") >= t_hi, "head")
+        .when(F.col("logprob_mean") >= t_lo, "middle")
+        .otherwise("tail"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
