@@ -2732,3 +2732,46 @@ def test_ccnet_buckets_hand_computed(spark):
     ]
     with pytest.raises(ValueError, match="cutoffs"):
         textstats.ccnet_buckets(df, "doc_id", "text", cutoffs=(0.7, 0.3))
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    """BPE pair mining vs a python replay: per-word-occurrence
+    weighting, in-word repeat counting ('aaa' -> (a,a) x2), min_count
+    floor, (count desc, lhs, rhs) total order, unicode chars."""
+    rows = [
+        (1, "low low low lower"),
+        (2, "newest newest wide"),
+        (3, "aaa 日本語"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in textstats.bpe_merge_candidates(
+            df, "text", min_count=1, k=100
+        ).collect()
+    ]
+
+    counts: dict = {}
+    for _, t in rows:
+        for w in (t or "").split():
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    exp = sorted(
+        ((a, b, c) for (a, b), c in counts.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )
+    assert got == exp
+    assert got[0] == ("l", "o", 4)  # 'lo' in low x3 + lower
+    assert ("日", "本", 1) in got
+    floored = textstats.bpe_merge_candidates(df, "text", min_count=3, k=100)
+    assert {tuple(r) for r in floored.collect()} == {
+        (a, b, c) for a, b, c in exp if c >= 3
+    }
+    top1 = textstats.bpe_merge_candidates(df, "text", min_count=1, k=1)
+    assert [tuple(r) for r in top1.collect()] == [("l", "o", 4)]
+    with pytest.raises(ValueError, match="min_count"):
+        textstats.bpe_merge_candidates(df, "text", min_count=0)
+    with pytest.raises(ValueError, match="k must"):
+        textstats.bpe_merge_candidates(df, "text", k=0)

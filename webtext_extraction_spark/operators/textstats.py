@@ -1611,6 +1611,65 @@ def pmi_bigrams(
     )
 
 
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, min_count: int = 2, k: int = 20
+) -> DataFrame:
+    """Top-k adjacent character-pair counts over the corpus — the
+    candidate table of ONE BPE merge step (Sennrich et al. 2016): the
+    pair a tokenizer trained on this corpus would merge first, and
+    the corpus-level signal a vocabulary-fit audit reads.  Pair
+    occurrences are counted per word occurrence (a word appearing
+    1000× contributes its pairs 1000×), with repeated pairs inside a
+    word each counted ("aaa" → (a,a) twice) — the reference BPE
+    convention.
+
+    Cross-engine exactness: counts are exact integers end-to-end;
+    ranking is (pair_count desc, lhs, rhs) byte order — a total
+    order, so the top-k row SET is deterministic.
+
+    Shape (100 TB): word frequencies first (one groupBy with map-side
+    combine collapsing hot words before the shuffle), then pairs are
+    generated from the DISTINCT-word table — the 100 TB text column
+    is scanned once and the pair explode runs over the vocabulary,
+    not the corpus; the final (lhs, rhs) groupBy shuffles 2-char keys
+    with partial aggregation.  Top-k is driver-bounded by ``k``.
+
+    Output: (lhs, rhs, pair_count) — ``k`` rows.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = F.col("w")
+    pairs = wf.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.length(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: F.struct(
+                        w.substr(i, F.lit(1)).alias("lhs"),
+                        w.substr(i + F.lit(1), F.lit(1)).alias("rhs"),
+                    ),
+                ),
+            )
+        ).alias("_p"),
+    ).select(F.col("_p.lhs").alias("lhs"), F.col("_p.rhs").alias("rhs"), "cnt")
+    return (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .orderBy(F.desc("pair_count"), "lhs", "rhs")
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
