@@ -12,6 +12,7 @@ jobs/run_extract.py):
 
 Gates compose in one DataFrame statement (each is the library
 operator the driver gate oracles): language/quality (text_profile),
+the Gopher/FineWeb rule battery (quality_gate, --gopher-gate),
 repetition (repetition_profile, Gopher dup_word_char_frac), benchmark
 decontamination (4-gram overlap vs --bench), near-dup cluster keepers
 (minhash-LSH + connected components), semantic cluster keepers
@@ -78,6 +79,14 @@ def main(argv=None):
                              "here (the artifact the NEXT run passes as "
                              "--prior-signatures)")
     parser.add_argument("--scrub-pii", action="store_true")
+    parser.add_argument("--gopher-gate", action="store_true",
+                        help="apply textstats.quality_gate (the Gopher/"
+                             "FineWeb rule battery; zero-shuffle) with its "
+                             "defaults plus the --gate-* overrides below")
+    parser.add_argument("--gate-min-words", type=int, default=50)
+    parser.add_argument("--gate-max-dup-frac", type=float, default=1.0,
+                        help="quality_gate dup_word_frac ceiling (distinct "
+                             "from --max-dup-frac's Gopher char-mass rule)")
     args = parser.parse_args(argv)
     if args.prior_signatures and args.dedup != "neardup":
         parser.error("--prior-signatures requires --dedup neardup")
@@ -102,6 +111,17 @@ def main(argv=None):
             out = out.filter(F.col("lang_pred") == args.lang)
         if args.min_quality is not None:
             out = out.filter(F.col("quality") >= args.min_quality)
+
+    if args.gopher_gate:
+        # quality_gate keeps a row for EVERY doc (NULL/empty included:
+        # the word-count floor owns them), so an inner join loses no
+        # rows; the gate itself is one zero-shuffle projection
+        qg = textstats.quality_gate(
+            docs, idc, txt,
+            min_words=args.gate_min_words,
+            max_dup_word_frac=args.gate_max_dup_frac,
+        ).select(idc, "passes")
+        out = out.join(qg, idc).filter(F.col("passes")).drop("passes")
 
     if args.max_dup_frac is not None:
         rep = textstats.repetition_profile(docs, idc, txt).select(

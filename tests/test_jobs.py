@@ -161,3 +161,31 @@ def test_run_curate_semantic_dedup_keeps_cluster_min(spark, tmp_path, monkeypatc
     # one cluster -> min id 1 survives
     assert 1 in kept and 3 not in kept and 8 not in kept
     assert {0, 2, 4, 5, 6, 7, 9, 10, 11} <= kept
+
+
+def test_run_curate_gopher_gate(spark, tmp_path, monkeypatch):
+    """--gopher-gate drops word-count/dup-frac violators via
+    quality_gate while the other gates stay untouched."""
+    from jobs import run_curate
+
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(f"word{i}x{j}" for j in range(12))))
+    rows.append((100, "too short"))              # < min words
+    rows.append((101, "dup " * 11 + "dup"))      # dup_word_frac 11/12
+    rows.append((102, None))                     # NULL: word-count floor
+    p = str(tmp_path / "docs_gg")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(p)
+    out = str(tmp_path / "curated_gg")
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    run_curate.main(
+        [
+            "--input", p,
+            "--output", out,
+            "--gopher-gate",
+            "--gate-min-words", "10",
+            "--gate-max-dup-frac", "0.5",
+        ]
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == set(range(20))

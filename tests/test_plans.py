@@ -631,3 +631,87 @@ def test_shuffle_corpus_no_single_partition_exchange(spark, tmp_path):
     plan = _plan(out)
     assert "SinglePartition" not in plan
     assert "text#" not in plan  # payload column pruned before the shuffle
+
+
+def test_quality_gate_zero_shuffle_pure_expressions(spark, tmp_path):
+    """quality_gate is ONE projection over the scan: no Exchange, no
+    Python, single parquet scan — the pushdown-composable shape its
+    docstring claims."""
+    from webtext_extraction_spark.operators.textstats import quality_gate
+
+    p = str(tmp_path / "docs_qg")
+    spark.createDataFrame(
+        [(i, "some words here for the gate %d" % i) for i in range(8)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(quality_gate(spark.read.parquet(p), "doc_id", "text"))
+    assert _node_ids(plan, "Exchange") == 0
+    assert _node_ids(plan, "ArrowEvalPython") == 0
+    assert _node_ids(plan, "Scan parquet") == 1
+
+
+def test_bm25_corpus_side_never_sort_merges(spark, tmp_path):
+    """bm25_topk reaches the corpus tf table through BROADCAST joins
+    only — a sort-merge there would shuffle the whole posting list on
+    term strings."""
+    from webtext_extraction_spark.operators.textstats import bm25_topk
+
+    p = str(tmp_path / "docs_bm25")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta word%d" % (i % 4)) for i in range(12)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    qs = spark.createDataFrame(
+        [(1, "alpha gamma"), (2, "beta word1")],
+        ["query_id", "query_text"],
+    )
+    plan = _plan(bm25_topk(docs, "doc_id", "text", qs, k=3))
+    assert _node_ids(plan, "SortMergeJoin") == 0
+    assert _node_ids(plan, "BroadcastHashJoin") >= 2
+    assert _node_ids(plan, "CartesianProduct") == 0
+
+
+def test_bpe_pairs_explode_over_vocabulary_not_corpus(spark, tmp_path):
+    """bpe_merge_candidates aggregates word frequencies BEFORE the
+    pair explode (the Generate sits above the first HashAggregate in
+    the tree, i.e. has a smaller node id in formatted explain), and
+    the text column stays out of every Exchange."""
+    import re as _re
+
+    from webtext_extraction_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+
+    p = str(tmp_path / "docs_bpe")
+    spark.createDataFrame(
+        [(i, "lower newest wider low%d" % (i % 3)) for i in range(9)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(bpe_merge_candidates(spark.read.parquet(p), "text"))
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
+    # pair Generate consumes the word-frequency aggregate's output
+    # (vocabulary), not the raw corpus: scan -> agg -> generate order
+    gen_ids = [int(i) for i in _re.findall(r"Generate[^\n(]*\((\d+)\)", plan)]
+    agg_ids = [int(i) for i in _re.findall(r"HashAggregate[^\n(]*\((\d+)\)", plan)]
+    assert gen_ids and agg_ids
+    # formatted-explain ids grow leaf -> root: at least one aggregate
+    # (the word-frequency one) runs BELOW the pair Generate
+    assert min(agg_ids) < max(gen_ids)
+
+
+def test_pmi_bigrams_text_stays_out_of_exchanges(spark, tmp_path):
+    import re as _re
+
+    from webtext_extraction_spark.operators.textstats import pmi_bigrams
+
+    p = str(tmp_path / "docs_pmi")
+    spark.createDataFrame(
+        [(i, "new york new york city hall %d" % i) for i in range(9)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    plan = _plan(pmi_bigrams(spark.read.parquet(p), "text", min_count=1))
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?(?=\n\(\d+\)|\Z)", plan, _re.S):
+        assert "text#" not in m.group(0)
+    assert _node_ids(plan, "CartesianProduct") == 0
