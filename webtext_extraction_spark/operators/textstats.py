@@ -571,7 +571,12 @@ def ccnet_buckets(
     and counts (never text); the percentile pass range-partitions the
     8-byte logprob column with driver rank offsets (no global sort
     task); the final bucket assignment is a LITERAL comparison — the
-    two thresholds ride to executors as constants, not a join.
+    two thresholds ride to executors as constants, not a join.  The
+    scored (id, n_tokens, logprob_mean) table is localCheckpoint-ed
+    once: it feeds BOTH the percentile pass and the output, and
+    without pinning, Spark would re-run the whole LM explode/join
+    over the corpus a second time (the pack_sequences trade — eager
+    overhead at toy scale buys single-execution at 100 TB).
     Zero-token docs drop (unigram_logprob's contract).
 
     Output: (id, n_tokens int, logprob_mean double, bucket string).
@@ -581,7 +586,7 @@ def ccnet_buckets(
         raise ValueError(
             f"cutoffs must be ascending fractions in [0, 1], got {cutoffs}"
         )
-    lp = unigram_logprob(df, id_col, text_col, freqs)
+    lp = unigram_logprob(df, id_col, text_col, freqs).localCheckpoint()
     th = {
         r["p"]: r["pct_value"]
         for r in global_percentiles(
