@@ -480,3 +480,52 @@ def test_streaming_hll_matches_batch_bit_for_bit(spark, tmp_path):
     assert finals2 == batch2
     assert finals2["a"] != finals["a"]  # new values moved the estimate
     assert finals2["b"] == finals["b"]  # untouched key unchanged
+
+
+def test_stream_quality_gate_matches_batch_and_restarts(spark, tmp_path):
+    """Stateless gate twin: stream output equals batch quality_gate
+    row-for-row; a restart over new files appends exactly the new
+    docs' verdicts (no duplicates, no re-emission)."""
+    from webtext_extraction_spark.operators.textstats import quality_gate
+    from webtext_extraction_spark.streaming.stream import stream_quality_gate
+
+    inp = str(tmp_path / "qg_in")
+    out = str(tmp_path / "qg_out")
+    ckpt = str(tmp_path / "qg_ckpt")
+
+    def _docs(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, ("word%d " % i) * (i % 9) + "the end", "en", "s", 0)
+                if i % 5
+                else (i, None, "en", "s", 0)
+                for i in range(lo, hi)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    kw = dict(min_words=4, max_dup_word_frac=0.5)
+    _docs(0, 30).write.mode("overwrite").parquet(inp)
+    q = stream_quality_gate(spark, inp, out, ckpt, **kw)
+    q.awaitTermination(300)
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        tuple(r)
+        for r in quality_gate(
+            spark.read.parquet(inp), "doc_id", "text", **kw
+        ).collect()
+    )
+    assert streamed == batch and len(batch) == 30
+
+    # new files arrive; restart drains ONLY them through the same ckpt
+    _docs(30, 45).write.mode("append").parquet(inp)
+    q2 = stream_quality_gate(spark, inp, out, ckpt, **kw)
+    q2.awaitTermination(300)
+    streamed2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch2 = sorted(
+        tuple(r)
+        for r in quality_gate(
+            spark.read.parquet(inp), "doc_id", "text", **kw
+        ).collect()
+    )
+    assert streamed2 == batch2 and len(batch2) == 45

@@ -7,6 +7,9 @@ a Kafka transcript feed would take).  Three tiers:
 
 - ``stream_extract`` — stateless lift of the batch pandas UDF
   (extraction is per-turn, so no state store is needed);
+- ``stream_quality_gate`` — stateless lift of the Gopher rule battery
+  over a documents stream (one projection: batch ≡ stream
+  row-for-row);
 - ``stream_status_rollup`` — event-time windowed A6 metrics with a
   watermark: late rows beyond the watermark are dropped, closed
   windows emit exactly once (append mode);
@@ -49,6 +52,56 @@ from pyspark.sql.types import (
 )
 
 from webtext_extraction_spark.operators.extraction import TRANSCRIPT_SCHEMA, extract_turns
+
+# the documents-table shape (TESTDATA.md) — the stream the corpus
+# operators' stateless twins read
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    schema: StructType | None = None,
+    **gate_kwargs,
+) -> StreamingQuery:
+    """Stateless streaming lift of ``textstats.quality_gate``: a
+    document stream is gated micro-batch by micro-batch — the
+    operator is ONE projection (zero shuffle, zero state), so no
+    watermark or state store is involved and the stream output equals
+    the batch output row-for-row over the same files (pinned by
+    tests/test_streaming.py).  ``gate_kwargs`` pass through to the
+    batch operator.  NOTE: a join back to the source for the full doc
+    row would be a stream-stream join (illegal without watermarks) —
+    callers wanting payloads join the sink against the source table
+    batch-side on doc_id, the read_stream_output pattern."""
+    from webtext_extraction_spark.operators.textstats import quality_gate
+
+    stream = (
+        spark.readStream.schema(schema or DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    gated = quality_gate(stream, "doc_id", "text", **gate_kwargs)
+    writer = (
+        gated.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_extract(
