@@ -2775,3 +2775,53 @@ def test_bpe_merge_candidates_hand_computed(spark):
         textstats.bpe_merge_candidates(df, "text", min_count=0)
     with pytest.raises(ValueError, match="k must"):
         textstats.bpe_merge_candidates(df, "text", k=0)
+
+
+def test_mixing_weights_hand_computed(spark):
+    """mixing_weights vs a python replay: alpha temperature, sorted
+    fold normalizer, floor(w*budget+0.5) quotas; alpha=0 uniform,
+    alpha=1 proportional; NULL group forms its own group."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    rows = (
+        [("web", i) for i in range(16)]
+        + [("books", i) for i in range(4)]
+        + [("code", i) for i in range(9)]
+        + [(None, i) for i in range(1)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+
+    for alpha in (0.5, 0.0, 1.0):
+        got = {
+            r["source"]: (r["n_rows"], r["weight"], r["expected_rows"])
+            for r in textstats.mixing_weights(
+                df, "source", alpha=alpha, budget=1000
+            ).collect()
+        }
+        ns = {"web": 16, "books": 4, "code": 9, None: 1}
+        svals = {g: r6(n ** alpha) for g, n in ns.items()}
+        tot = 0.0
+        for _, s in sorted(svals.items(), key=lambda kv: (kv[0] or "", kv[1])):
+            tot += s
+        for g, n in ns.items():
+            w = r6(svals[g] / tot)
+            er = math.floor(w * 1000 + 0.5)
+            assert got[g] == (n, w, er), (alpha, g, got[g], (n, w, er))
+
+    # no budget -> no expected_rows column
+    nb = textstats.mixing_weights(df, "source")
+    assert nb.columns == ["source", "n_rows", "weight"]
+    # alpha=0.5 upsamples the small source vs proportional
+    w05 = {r["source"]: r["weight"]
+           for r in textstats.mixing_weights(df, "source", 0.5).collect()}
+    w10 = {r["source"]: r["weight"]
+           for r in textstats.mixing_weights(df, "source", 1.0).collect()}
+    assert w05["books"] > w10["books"] and w05["web"] < w10["web"]
+    with pytest.raises(ValueError, match="alpha"):
+        textstats.mixing_weights(df, "source", alpha=-0.1)
+    with pytest.raises(ValueError, match="budget"):
+        textstats.mixing_weights(df, "source", budget=0)

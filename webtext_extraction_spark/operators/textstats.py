@@ -1273,6 +1273,79 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def mixing_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+) -> DataFrame:
+    """α-temperature data-mixing weights (the T5/mT5/LLaMA-family
+    sampling rule: w_g ∝ n_g^α) — α=1 is natural proportions, α=0 is
+    uniform, the 0.2-0.7 band upsamples small sources / languages so
+    the big ones don't drown them.  With ``budget``, also emits the
+    integer per-group row quota (``expected_rows``) a sampler like
+    :func:`sample_mix` consumes.
+
+    Cross-engine exactness: per-group ``s_g = round(n_g^α, 6)``; the
+    normalizer is a sorted fold over (group-key, s) structs — groups
+    are few, so all s values ride one array, added in a total order on
+    both engines (the sorted-sum rule); ``weight = round(s/Σs, 6)``
+    and ``expected_rows = floor(weight·budget + 0.5)`` (half-up on
+    identical doubles — never a bare engine-default round).
+
+    Shape: ONE groupBy(group) count with map-side combine; everything
+    downstream operates on the per-group table, whose cardinality is
+    driver-bounded by the operator's purpose (sources / languages /
+    domains — if your group key has millions of values, you wanted a
+    sampler, not mixing weights).  NULL group keys form their own
+    group (sort key coalesces to '' for the fold order).
+
+    Output: (group_col, n_rows bigint, weight double[, expected_rows
+    bigint]).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if budget is not None and budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    counts = df.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    scored = counts.withColumn(
+        "_s",
+        F.round(F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha))), 6),
+    )
+    tot = scored.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("_grp").cast("string"), F.lit("")).alias(
+                        "k"
+                    ),
+                    F.col("_s").alias("s"),
+                )
+            )
+        ).alias("_a")
+    ).select(
+        F.aggregate(
+            F.col("_a"), F.lit(0.0), lambda acc, x: acc + x["s"]
+        ).alias("_tot")
+    )
+    w = F.round(F.col("_s") / F.col("_tot"), 6)
+    out = scored.crossJoin(F.broadcast(tot)).select(
+        F.col("_grp").alias(group_col),
+        "n_rows",
+        w.alias("weight"),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "expected_rows",
+            F.floor(F.col("weight") * F.lit(int(budget)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    return out
+
+
 def quality_gate(
     df: DataFrame,
     id_col: str,
