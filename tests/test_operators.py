@@ -2825,3 +2825,52 @@ def test_mixing_weights_hand_computed(spark):
         textstats.mixing_weights(df, "source", alpha=-0.1)
     with pytest.raises(ValueError, match="budget"):
         textstats.mixing_weights(df, "source", budget=0)
+
+
+def test_sample_quota_hand_computed(spark):
+    """sample_quota vs a python ticket replay: exact per-group counts,
+    quota-0 and missing groups drop, prefix-consistency with both a
+    bigger quota and sample_stratified at the same salt."""
+    rows = [("web", i) for i in range(20)] + [("books", 100 + i) for i in range(6)] \
+        + [("code", 200 + i) for i in range(3)] + [("empty", 300)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    quotas = spark.createDataFrame(
+        [("web", 5), ("books", 10), ("code", 0)],
+        "source string, expected_rows long",
+    )  # 'empty' absent; code quota 0; books quota > |group|
+    got = sorted(
+        tuple(r)
+        for r in textstats.sample_quota(
+            df, "source", "doc_id", quotas
+        ).collect()
+    )
+
+    def ticket(i):
+        return portable_hash64_py(f"strat-v1|{i}")
+
+    exp = []
+    for g, q in (("web", 5), ("books", 10)):
+        ids = [i for s, i in rows if s == g]
+        ranked = sorted(ids, key=lambda i: (ticket(i), i))[:q]
+        exp += [(g, i, r + 1) for r, i in enumerate(ranked)]
+    assert got == sorted(exp)
+    assert sum(1 for g, *_ in got if g == "web") == 5
+    assert sum(1 for g, *_ in got if g == "books") == 6  # min(10, 6)
+    assert not any(g in ("code", "empty") for g, *_ in got)
+
+    # prefix property: quota 3 ⊂ quota 5 for the same salt
+    q3 = spark.createDataFrame([("web", 3)], "source string, expected_rows long")
+    small = {r["doc_id"] for r in
+             textstats.sample_quota(df, "source", "doc_id", q3).collect()}
+    big = {i for g, i, _ in got if g == "web"}
+    assert small < big
+    # consistency with sample_stratified at the same salt
+    strat = {
+        (r["source"], r["doc_id"], r["rk"])
+        for r in textstats.sample_stratified(df, "source", "doc_id", 3).collect()
+        if r["source"] == "web"
+    }
+    assert strat == {(g, i, r) for g, i, r in got if g == "web" and r <= 3}
+    with pytest.raises(ValueError, match="quotas needs"):
+        textstats.sample_quota(df, "source", "doc_id",
+                               quotas.select("source"))

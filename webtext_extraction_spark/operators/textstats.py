@@ -408,6 +408,63 @@ def sample_stratified(
     )
 
 
+def sample_quota(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quotas: DataFrame,
+    quota_col: str = "expected_rows",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-group quota sampling — the draw stage of the mixing
+    pipeline: feed :func:`mixing_weights`'s (group, expected_rows)
+    table in and get exactly min(quota_g, |group g|) rows per group
+    out.  Same deterministic ticket rule as
+    :func:`sample_stratified` (k smallest ``portable_hash64(salt‖id)``
+    per group, id tie-break), so the drawn set never silently rotates
+    and the same ``salt`` yields a CONSISTENT draw across both
+    operators: a group's quota-j sample is a prefix of its quota-k
+    sample for j < k (growing the budget only ADDS rows — incremental
+    corpus builds never churn previously selected docs).
+
+    Groups absent from ``quotas`` (or with quota <= 0) contribute
+    nothing.  ``quotas`` cardinality is driver-bounded by the mixing
+    use case, so it broadcasts.
+
+    Scale shape: one Exchange + one Sort (the per-group rank window) +
+    a broadcast quota join.  For a single 100 TB hot group, pre-thin
+    with :func:`sample_stratified`'s ``salt_partitions`` two-stage
+    shape at k = max quota, then apply quotas to the survivors — the
+    prefix property makes the composition exact.
+
+    Output: (group_col, id_col, rk int), rk = 1..quota_g.
+    """
+    qcols = set(quotas.columns)
+    if group_col not in qcols or quota_col not in qcols:
+        raise ValueError(
+            f"quotas needs columns ({group_col!r}, {quota_col!r}), "
+            f"got {sorted(qcols)}"
+        )
+    ticket = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_ticket", id_col)
+    return (
+        df.select(F.col(group_col), F.col(id_col), ticket.alias("_ticket"))
+        .join(
+            F.broadcast(
+                quotas.select(
+                    group_col, F.col(quota_col).cast("long").alias("_q")
+                )
+            ),
+            group_col,
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("_q"))
+        .select(group_col, id_col, "rk")
+    )
+
+
 def split_corpus(
     df: DataFrame,
     id_col: str,
