@@ -17,8 +17,9 @@ repetition (repetition_profile, Gopher dup_word_char_frac), benchmark
 decontamination (4-gram overlap vs --bench), near-dup cluster keepers
 (minhash-LSH + connected components), semantic cluster keepers
 (hashed-bow cosine — text-only, no embeddings table needed) or
-exact-dup keepers, then optional PII scrubbing of the surviving
-text.  Every gate is optional
+exact-dup keepers, α-temperature mixing of the survivors
+(mixing_weights → sample_quota, --mix-budget), then optional PII
+scrubbing of the surviving text.  Every gate is optional
 — skip a flag and its operator never enters the plan (Catalyst sees
 only what you asked for).
 """
@@ -87,6 +88,12 @@ def main(argv=None):
     parser.add_argument("--gate-max-dup-frac", type=float, default=1.0,
                         help="quality_gate dup_word_frac ceiling (distinct "
                              "from --max-dup-frac's Gopher char-mass rule)")
+    parser.add_argument("--mix-budget", type=int, default=None,
+                        help="α-temperature downsample the gated survivors "
+                             "to ~this many rows (mixing_weights → "
+                             "sample_quota; deterministic draw)")
+    parser.add_argument("--mix-alpha", type=float, default=0.5)
+    parser.add_argument("--mix-group-col", default="source")
     args = parser.parse_args(argv)
     if args.prior_signatures and args.dedup != "neardup":
         parser.error("--prior-signatures requires --dedup neardup")
@@ -222,6 +229,20 @@ def main(argv=None):
             .select(F.col("node").alias(idc))
         )
         out = out.join(keepers, idc)
+
+    if args.mix_budget is not None:
+        # α-temperature downsampling of the SURVIVORS (the gated
+        # corpus is what gets mixed), before PII scrubbing so the
+        # scrubber touches only rows that ship; the quota draw is
+        # deterministic, so re-runs select the same rows
+        quotas = textstats.mixing_weights(
+            out, args.mix_group_col, alpha=args.mix_alpha,
+            budget=args.mix_budget,
+        )
+        pick = textstats.sample_quota(
+            out, args.mix_group_col, idc, quotas
+        ).select(idc)
+        out = out.join(pick, idc, "left_semi")
 
     if args.scrub_pii:
         scrubbed = privacy.scrub_pii(out, idc, txt)

@@ -189,3 +189,30 @@ def test_run_curate_gopher_gate(spark, tmp_path, monkeypatch):
     )
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == set(range(20))
+
+
+def test_run_curate_mix_downsamples_survivors(spark, tmp_path, monkeypatch):
+    """--mix-budget draws the deterministic per-source quota from the
+    gated survivors; re-running selects the identical row set."""
+    from jobs import run_curate
+
+    rows = [(i, f"doc number {i} with several words here", "s%d" % (i % 3))
+            for i in range(60)]
+    p = str(tmp_path / "docs_mix")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(p)
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / f"mixed_{tag}")
+        run_curate.main([
+            "--input", p, "--output", out,
+            "--mix-budget", "30", "--mix-alpha", "0.5",
+        ])
+        outs.append({r["doc_id"] for r in spark.read.parquet(out).collect()})
+    assert outs[0] == outs[1]          # deterministic draw
+    assert len(outs[0]) == 30          # 3 equal sources -> exactly 10 each
+    got = spark.read.parquet(str(tmp_path / "mixed_a"))
+    per_src = {r["source"]: r["n"] for r in
+               got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src == {"s0": 10, "s1": 10, "s2": 10}

@@ -2874,3 +2874,13 @@ def test_sample_quota_hand_computed(spark):
     with pytest.raises(ValueError, match="quotas needs"):
         textstats.sample_quota(df, "source", "doc_id",
                                quotas.select("source"))
+
+
+def test_r5_validation_edges(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly"):
+        textstats.ccnet_buckets(df, "doc_id", "text", cutoffs=(0.1, 0.5, 0.9))
+    with pytest.raises(ValueError, match="mean_word_len"):
+        textstats.quality_gate(
+            df, "doc_id", "text", min_mean_word_len=5.0, max_mean_word_len=3.0
+        )

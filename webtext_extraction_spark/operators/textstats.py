@@ -638,6 +638,10 @@ def ccnet_buckets(
 
     Output: (id, n_tokens int, logprob_mean double, bucket string).
     """
+    if len(cutoffs) != 2:
+        raise ValueError(
+            f"cutoffs must be exactly (lo, hi), got {cutoffs!r}"
+        )
     c_lo, c_hi = float(cutoffs[0]), float(cutoffs[1])
     if not (0.0 <= c_lo <= c_hi <= 1.0):
         raise ValueError(
@@ -1463,6 +1467,11 @@ def quality_gate(
     if min_words < 0 or max_words < min_words:
         raise ValueError(
             f"need 0 <= min_words <= max_words, got {min_words}/{max_words}"
+        )
+    if max_mean_word_len < min_mean_word_len:
+        raise ValueError(
+            "need min_mean_word_len <= max_mean_word_len, got "
+            f"{min_mean_word_len}/{max_mean_word_len}"
         )
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
