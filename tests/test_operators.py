@@ -2884,3 +2884,47 @@ def test_r5_validation_edges(spark):
         textstats.quality_gate(
             df, "doc_id", "text", min_mean_word_len=5.0, max_mean_word_len=3.0
         )
+
+
+def test_containment_pairs_hand_computed(spark):
+    """containment_pairs vs a python all-pairs replay on a corpus
+    where rare-token blocking has complete recall (every pair at
+    threshold shares a rare token): subset docs found at 1.0 even
+    when Jaccard is tiny; counts exact; id_a < id_b."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta"),                      # ⊂ 1: containment 1.0, jaccard 0.2
+        (3, "gamma delta epsilon"),             # ⊂ 1
+        (4, "completely different words here"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # = 1
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", threshold=0.9, rare_k=2
+        ).collect()
+    }
+    # full containments found despite low jaccard
+    assert set(got) == {(1, 2), (1, 3), (1, 5), (2, 5), (3, 5)}
+    for (a, b), r in got.items():
+        sa = set(dict(rows)[a].split())
+        sb = set(dict(rows)[b].split())
+        assert r["n_common"] == len(sa & sb)
+        assert r["n_a"] == len(sa) and r["n_b"] == len(sb)
+        assert r["containment"] == round(
+            len(sa & sb) / min(len(sa), len(sb)), 6
+        )
+    assert got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 5)]["containment"] == 1.0
+
+    # zero-token docs never pair; threshold filters
+    loose = dedup.containment_pairs(df, "doc_id", "text", threshold=0.01)
+    ids = {i for r in loose.collect() for i in (r["id_a"], r["id_b"])}
+    assert 6 not in ids and 7 not in ids
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(df, "doc_id", "text", threshold=0.0)
+    with pytest.raises(ValueError, match="rare_k"):
+        dedup.containment_pairs(df, "doc_id", "text", rare_k=0)

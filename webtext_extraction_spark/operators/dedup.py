@@ -534,6 +534,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    rare_k: int = 2,
+) -> DataFrame:
+    """Containment near-dup pairs — the dedup class Jaccard-based
+    candidates MISS: a short doc embedded in a long one (quote pages,
+    aggregators, doc+appendix reposts) has high containment
+    ``|A∩B| / min(|A|, |B|)`` but low Jaccard, so minhash LSH never
+    proposes the pair.  Word sets are hashed int64
+    (``hashed_word_set`` — the minhash representation, so text never
+    shuffles).
+
+    Candidate generation is RARE-TOKEN BLOCKING (the classic
+    entity-resolution move): each doc nominates its ``rare_k``
+    lowest-document-frequency tokens (ties by token hash — total
+    order), and a pair is a candidate iff one doc's rare token
+    appears anywhere in the other.  Recall: COMPLETE at containment
+    = 1.0 (a fully-contained doc's every token — including its
+    rarest — is in the container); below 1.0 it is a high-recall
+    heuristic (a miss needs ALL ``rare_k`` rare tokens inside the
+    missing fraction), raise ``rare_k`` to tighten.
+
+    Shape (100 TB): candidate volume is Σ df(token) over the
+    SELECTED rare tokens — rare by construction, so the blocking join
+    is anti-skewed by design; on small-vocabulary corpora where
+    "rarest" is still frequent the join degrades toward all-pairs
+    (AQE skew-join territory — monitor Σ df before trusting a run,
+    the ANN-recall-harness discipline).  Intersections run on the
+    bounded candidate set via array_intersect of the per-doc hashed
+    arrays; counts are exact integers, containment is one division
+    rounded to 6 dp.
+
+    Output: (id_a, id_b, n_common int, n_a int, n_b int, containment
+    double) with id_a < id_b, containment >= threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if rare_k < 1:
+        raise ValueError(f"rare_k must be >= 1, got {rare_k}")
+    sets = df.select(
+        F.col(id_col).alias("_id"), hashed_word_set(F.col(text_col)).alias("_hs")
+    ).filter(F.size("_hs") >= 1)
+    toks = sets.select("_id", F.explode("_hs").alias("_th"))
+    dfreq = toks.groupBy("_th").agg(F.count("*").cast("long").alias("_dft"))
+    w = Window.partitionBy("_id").orderBy("_dft", "_th")
+    rare = (
+        toks.join(dfreq, "_th")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rare_k)
+        .select(F.col("_id").alias("_rid"), "_th")
+    )
+    cand = (
+        rare.join(toks, "_th")
+        .filter(F.col("_rid") != F.col("_id"))
+        .select(
+            F.least("_rid", "_id").alias("id_a"),
+            F.greatest("_rid", "_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("_id").alias("id_a"),
+        F.col("_hs").alias("_ha"),
+        F.size("_hs").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("_id").alias("id_b"),
+        F.col("_hs").alias("_hb"),
+        F.size("_hs").alias("n_b"),
+    )
+    cont = F.round(
+        F.size(F.array_intersect("_ha", "_hb")).cast("double")
+        / F.least("n_a", "n_b").cast("double"),
+        6,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_ha", "_hb")))
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     id_col: str,
