@@ -55,14 +55,17 @@ def main(argv=None):
                         help="benchmark parquet for decontamination (4-gram overlap)")
     parser.add_argument("--dedup",
                         choices=["none", "exact", "neardup", "semantic",
-                                 "substring"],
+                                 "substring", "containment"],
                         default="none",
                         help="exact md5 / minhash-LSH+CC keepers drop whole "
                              "docs; 'semantic' clusters by hashed-bow cosine "
                              "(--cosine/--embed-dim) — the text-only "
                              "embedding path; 'substring' instead REWRITES "
                              "text, stripping all-but-first occurrences of "
-                             "duplicated --substring-n-gram spans (Lee et al.)")
+                             "duplicated --substring-n-gram spans (Lee et "
+                             "al.); 'containment' drops docs whose word set "
+                             "is fully inside another's (the class Jaccard "
+                             "dedup misses)")
     parser.add_argument("--cosine", type=float, default=0.9,
                         help="with --dedup semantic: near-dup cosine threshold")
     parser.add_argument("--embed-dim", type=int, default=64,
@@ -209,6 +212,23 @@ def main(argv=None):
                 .select(F.col("node").alias(idc))
             )
         out = out.join(keepers, idc)
+    elif args.dedup == "containment":
+        # drop docs fully CONTAINED in another (word-set containment
+        # 1.0 — the quote-page / doc+appendix class Jaccard dedup
+        # misses).  Loser rule per pair: the smaller word set; equal
+        # sets (the exact-dup class) keep the min id, matching
+        # exact_duplicates' keeper convention.  Chains are safe:
+        # A ⊂ B ⊂ C drops A and B directly.
+        pairs = dedup.containment_pairs(
+            docs, idc, txt, threshold=1.0, rare_k=2
+        )
+        loser = F.when(
+            F.col("n_a") < F.col("n_b"), F.col("id_a")
+        ).when(
+            F.col("n_b") < F.col("n_a"), F.col("id_b")
+        ).otherwise(F.greatest("id_a", "id_b"))
+        losers = pairs.select(loser.alias(idc)).distinct()
+        out = out.join(losers, idc, "left_anti")
     elif args.dedup == "semantic":
         # text-only semantic dedup: hashed-bow vectors (no embeddings
         # table needed) → LSH-bucketed cosine pairs → CC keepers —

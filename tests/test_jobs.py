@@ -216,3 +216,25 @@ def test_run_curate_mix_downsamples_survivors(spark, tmp_path, monkeypatch):
     per_src = {r["source"]: r["n"] for r in
                got.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert per_src == {"s0": 10, "s1": 10, "s2": 10}
+
+
+def test_run_curate_containment_dedup(spark, tmp_path, monkeypatch):
+    """--dedup containment drops docs whose word set is fully inside
+    another's (smaller set loses; equal sets keep min id); partial
+    overlaps survive."""
+    from jobs import run_curate
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma"),                 # ⊂ 1 -> dropped
+        (3, "epsilon zeta"),                     # ⊂ 1 -> dropped
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # = 1 -> dropped (min id keeps)
+        (5, "alpha omega psi chi phi upsilon"),  # partial overlap -> kept
+    ]
+    p = str(tmp_path / "docs_cont")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(p)
+    out = str(tmp_path / "cont_out")
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    run_curate.main(["--input", p, "--output", out, "--dedup", "containment"])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 5}
