@@ -2928,3 +2928,59 @@ def test_containment_pairs_hand_computed(spark):
         dedup.containment_pairs(df, "doc_id", "text", threshold=0.0)
     with pytest.raises(ValueError, match="rare_k"):
         dedup.containment_pairs(df, "doc_id", "text", rare_k=0)
+
+
+def test_group_overlap_hand_computed(spark):
+    """group_overlap vs a python set replay: per-group distinct-gram
+    sets, unordered pairs, containment-style overlap fraction; the
+    split-leakage composition (split_corpus -> group_overlap) detects
+    planted cross-split duplicates."""
+    from webtext_extraction_spark.operators import contamination
+
+    rows = [
+        (1, "a", "one two three four five"),
+        (2, "a", "six seven eight nine"),
+        (3, "b", "one two three four"),      # shares grams with doc 1
+        (4, "b", "totally different words"),
+        (5, "c", "unrelated text entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): r.asDict()
+        for r in contamination.group_overlap(df, "grp", "text", n=2).collect()
+    }
+
+    def gset(g):
+        s = set()
+        for _, gg, t in rows:
+            if gg != g:
+                continue
+            ws = t.split()
+            s |= {" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)}
+        return s
+
+    sets = {g: gset(g) for g in ("a", "b", "c")}
+    exp = {}
+    for ga, gb in (("a", "b"), ("a", "c"), ("b", "c")):
+        sh = len(sets[ga] & sets[gb])
+        if sh:
+            exp[(ga, gb)] = {
+                "group_a": ga, "group_b": gb, "shared_grams": sh,
+                "n_a": len(sets[ga]), "n_b": len(sets[gb]),
+                "overlap": round(sh / min(len(sets[ga]), len(sets[gb])), 6),
+            }
+    assert got == exp
+    assert got[("a", "b")]["shared_grams"] == 3  # one-two two-three three-four
+
+    # split-leakage composition: duplicate texts planted across ids
+    # land in different splits and surface as train/val overlap
+    dups = spark.createDataFrame(
+        [(i, "the same leaked sentence appears everywhere in this corpus %d" % (i % 4))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    split = textstats.split_corpus(dups, "doc_id", {"train": 0.5, "val": 0.5})
+    leak = contamination.group_overlap(split, "split", "text", n=4).collect()
+    assert len(leak) == 1 and leak[0]["shared_grams"] > 0
+    with pytest.raises(ValueError, match="n must"):
+        contamination.group_overlap(df, "grp", "text", n=0)

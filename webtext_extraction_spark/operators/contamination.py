@@ -34,6 +34,73 @@ def gram_hash_array(col, n: int) -> Column:
     return F.array_distinct(F.transform(ngrams_of_words(words(col), n), portable_hash64))
 
 
+def group_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Cross-group n-gram overlap matrix — the split/source LEAKAGE
+    diagnostic: after :func:`~...textstats.split_corpus` carves
+    train/val/test, run this on the ``split`` column to measure how
+    many word-n-grams the splits share (duplicate docs straddling a
+    split boundary are invisible to per-split stats but surface here
+    immediately); on ``source`` it maps cross-source duplication.
+
+    ``overlap = shared / min(n_a, n_b)`` — containment-style, so a
+    small eval split fully leaked into train reads 1.0 regardless of
+    train's size.  Counts are exact integers over DISTINCT per-group
+    gram-hash sets; one division, round 6.
+
+    Shape (100 TB): per-doc distinct grams hash to int64 in the
+    projection (text never shuffles), ONE distinct on (group, hash),
+    then a self-equi-join on the hash — fan-out per gram is bounded
+    by the GROUP count (distinct-per-group first), so a
+    corpus-saturating gram emits at most C(groups, 2) pairs, and the
+    pair groupBy aggregates map-side.  Group cardinality is
+    driver-bounded by the diagnostic's purpose (splits / sources).
+
+    Output: (group_a, group_b, shared_grams long, n_a long, n_b long,
+    overlap double), group_a < group_b, only pairs sharing >= 1 gram.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    g = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.explode(gram_hash_array(F.col(text_col), n)).alias("_gh"),
+        )
+        .distinct()
+    )
+    tot = g.groupBy("_grp").agg(F.count("*").cast("long").alias("_n"))
+    a = g.select(F.col("_grp").alias("group_a"), "_gh")
+    b = g.select(F.col("_grp").alias("group_b"), "_gh")
+    shared = (
+        a.join(b, "_gh")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    ta = tot.select(F.col("_grp").alias("group_a"), F.col("_n").alias("n_a"))
+    tb = tot.select(F.col("_grp").alias("group_b"), F.col("_n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "group_a")
+        .join(F.broadcast(tb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "shared_grams",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     bench: DataFrame,
