@@ -65,12 +65,17 @@ def group_overlap(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # localCheckpoint: g feeds the totals AND both self-join sides —
+    # unpinned, Spark re-runs the 100 TB gram explode three times
+    # (the ccnet_buckets trade: eager narrow materialization buys
+    # single-generation)
     g = (
         df.select(
             F.col(group_col).alias("_grp"),
             F.explode(gram_hash_array(F.col(text_col), n)).alias("_gh"),
         )
         .distinct()
+        .localCheckpoint()
     )
     tot = g.groupBy("_grp").agg(F.count("*").cast("long").alias("_n"))
     a = g.select(F.col("_grp").alias("group_a"), "_gh")
