@@ -529,3 +529,69 @@ def test_stream_quality_gate_matches_batch_and_restarts(spark, tmp_path):
         ).collect()
     )
     assert streamed2 == batch2 and len(batch2) == 45
+
+
+def test_stream_decontaminate_bloom_matches_batch(spark, tmp_path):
+    """Bloom decontamination twin: stream output equals the batch
+    operator row-for-row (bench is static, contamination is per-doc);
+    restart over newly arrived files appends only the new docs."""
+    from webtext_extraction_spark.operators.membership import (
+        decontaminate_bloom,
+    )
+    from webtext_extraction_spark.streaming.stream import (
+        read_stream_output,
+        stream_decontaminate_bloom,
+    )
+
+    inp = str(tmp_path / "dc_in")
+    out = str(tmp_path / "dc_out")
+    ckpt = str(tmp_path / "dc_ckpt")
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark question about quantum flux capacitors "
+             "appears here verbatim")],
+        "qid long, text string",
+    )
+
+    def _docs(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            t = "ordinary document %d with plenty of ordinary words in it " \
+                "going on for a while" % i
+            if i % 7 == 0:
+                t += (" the secret benchmark question about quantum flux"
+                      " capacitors appears here verbatim")
+            rows.append((i, t, "en", "s", 0))
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    _docs(0, 25).write.mode("overwrite").parquet(inp)
+    q = stream_decontaminate_bloom(spark, inp, out, ckpt, bench, n=8)
+    q.awaitTermination(300)
+    streamed = sorted(
+        tuple(r) for r in read_stream_output(spark, out).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            spark.read.parquet(inp), bench, "doc_id", "text", n=8
+        ).collect()
+    )
+    assert streamed == batch and len(batch) == 25
+    contaminated = {t[0] for t in streamed if t[-1]}
+    assert contaminated == {0, 7, 14, 21}
+
+    _docs(25, 40).write.mode("append").parquet(inp)
+    q2 = stream_decontaminate_bloom(spark, inp, out, ckpt, bench, n=8)
+    q2.awaitTermination(300)
+    streamed2 = sorted(
+        tuple(r) for r in read_stream_output(spark, out).collect()
+    )
+    batch2 = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            spark.read.parquet(inp), bench, "doc_id", "text", n=8
+        ).collect()
+    )
+    assert streamed2 == batch2 and len(batch2) == 40

@@ -10,6 +10,9 @@ a Kafka transcript feed would take).  Three tiers:
 - ``stream_quality_gate`` — stateless lift of the Gopher rule battery
   over a documents stream (one projection: batch ≡ stream
   row-for-row);
+- ``stream_decontaminate_bloom`` — per-micro-batch benchmark
+  decontamination against a static bench (per-doc semantics, so
+  foreachBatch runs the batch operator verbatim: batch ≡ stream);
 - ``stream_status_rollup`` — event-time windowed A6 metrics with a
   watermark: late rows beyond the watermark are dropped, closed
   windows emit exactly once (append mode);
@@ -96,6 +99,61 @@ def stream_quality_gate(
     writer = (
         gated.writeStream.format("parquet")
         .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_decontaminate_bloom(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    bench: DataFrame,
+    n: int = 8,
+    m_words: int = 4096,
+    k: int = 5,
+    available_now: bool = True,
+    schema=None,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination: a documents stream is
+    checked against a STATIC benchmark corpus micro-batch by
+    micro-batch.  Contamination is per-document against the fixed
+    bench (no cross-document state), so running the batch operator
+    (``membership.decontaminate_bloom``) inside ``foreachBatch``
+    gives exactly the batch answer row-for-row — the aggregation
+    lives inside each batch, where watermarks and state stores don't
+    apply.  Writes replay-safe ``batch_<id>`` directories (the
+    idempotent-append contract; read with :func:`read_stream_output`).
+
+    The Bloom sketch rebuilds per micro-batch from ``bench`` —
+    eval-suite-scale by the operator's design; for a huge reference
+    set, persist the sketch once with ``bloom_build`` and inline a
+    probe-only variant."""
+    from webtext_extraction_spark.operators.membership import (
+        decontaminate_bloom,
+    )
+
+    stream = (
+        spark.readStream.schema(schema or DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    _write_layout_marker(spark, output_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = decontaminate_bloom(
+            batch_df, bench, "doc_id", "text", n=n, m_words=m_words, k=k
+        )
+        out.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_{batch_id:08d}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
