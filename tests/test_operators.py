@@ -2984,3 +2984,60 @@ def test_group_overlap_hand_computed(spark):
     assert len(leak) == 1 and leak[0]["shared_grams"] > 0
     with pytest.raises(ValueError, match="n must"):
         contamination.group_overlap(df, "grp", "text", n=0)
+
+
+def test_winnow_fingerprints_hand_computed(spark):
+    """Winnowing vs a python replay of the rightmost-min rule, plus
+    the winnowing GUARANTEE: docs sharing a run of >= w+k-1 words
+    share a fingerprint; short docs emit nothing."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron"),
+        (2, "pre1 pre2 delta epsilon zeta eta theta iota kappa lam post"),
+        (3, "one two three"),            # < w+k-1 words -> nothing
+        (4, ""),
+        (5, None),
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        i: sorted((r["pos"], r["fp"]) for r in rs)
+        for i, rs in __import__("itertools").groupby(
+            sorted(
+                textstats.winnow_fingerprints(
+                    df, "doc_id", "text", k=k, w=w
+                ).collect(),
+                key=lambda r: r["doc_id"],
+            ),
+            key=lambda r: r["doc_id"],
+        )
+        for i, rs in [(i, list(rs))]
+    }
+
+    def replay(text):
+        ws = (text or "").split()
+        hs = [
+            portable_hash64_py(" ".join(ws[i:i + k]))
+            for i in range(len(ws) - k + 1)
+        ]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            m = min(win)
+            pos = s + max(i for i, h in enumerate(win) if h == m)
+            out.add((pos, hs[pos]))
+        return sorted(out)
+
+    for i, t in rows:
+        exp = replay(t)
+        assert got.get(i, []) == exp, (i, got.get(i), exp)
+    assert 3 not in got and 4 not in got and 5 not in got
+
+    # guarantee: docs 1 and 2 share "delta ... lam" (8 words >= w+k-1=6)
+    fp1 = {fp for _, fp in got[1]}
+    fp2 = {fp for _, fp in got[2]}
+    assert fp1 & fp2, "winnowing guarantee violated"
+    # density: ~2/(w+1) of the gram stream, loose sanity bound
+    assert len(got[1]) <= len(rows[0][1].split()) - k + 1
+    with pytest.raises(ValueError, match="k >= 1"):
+        textstats.winnow_fingerprints(df, "doc_id", "text", k=0)

@@ -1334,6 +1334,67 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm, over word k-grams): slide a window of
+    ``w`` consecutive k-gram hashes and keep each window's minimum,
+    rightmost occurrence on ties.  The winnowing guarantee: any two
+    documents sharing a run of >= w+k-1 words share at least one
+    fingerprint — a LOCAL fingerprint set (unlike minhash's global
+    one) sized ~2/(w+1) of the gram stream, the standard
+    plagiarism / local-overlap index.
+
+    Cross-engine exactness: the per-window argmin is ONE struct-min
+    ``min(struct(h, -pos))`` over a ROWS frame — (hash asc, pos desc)
+    lexicographic order bakes the rightmost-tie rule into the
+    aggregate, so no nested window functions; selections dedup to
+    DISTINCT (id, pos, fp).  All integer arithmetic.
+
+    Shape (100 TB): one tokenize + one gram explode of (id, pos,
+    hash) — 16-byte rows, text never shuffles — then ONE
+    Exchange(id) + ONE Sort(pos) shared by the count-guard and the
+    struct-min window, then a distinct that reuses the same hash
+    partitioning.  Docs with < w+k-1 words emit nothing (no full
+    window exists — the winnowing boundary condition).
+
+    Output: (id, pos int, fp long) — pos is the 0-based word position
+    of the selected k-gram.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k} w={w}")
+    grams = ngrams_of_words(words(F.col(text_col)), k)
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform(grams, portable_hash64)).alias("_pos", "_h"),
+    )
+    frame = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = hashed.select(
+        "_id",
+        F.count("*").over(frame).alias("_cnt"),
+        F.min(F.struct(F.col("_h").alias("h"), (-F.col("_pos")).alias("np")))
+        .over(frame)
+        .alias("_m"),
+    ).filter(F.col("_cnt") == w)
+    return (
+        sel.select(
+            F.col("_id").alias(id_col),
+            (-F.col("_m.np")).cast("int").alias("pos"),
+            F.col("_m.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def mixing_weights(
     df: DataFrame,
     group_col: str,
