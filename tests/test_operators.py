@@ -3041,3 +3041,66 @@ def test_winnow_fingerprints_hand_computed(spark):
     assert len(got[1]) <= len(rows[0][1].split()) - k + 1
     with pytest.raises(ValueError, match="k >= 1"):
         textstats.winnow_fingerprints(df, "doc_id", "text", k=0)
+
+
+def test_winnow_overlap_pairs_hand_computed(spark):
+    """Pair report vs a python replay of winnow -> distinct ->
+    df-guard -> pair counts; planted shared run pairs; max_df drops
+    the corpus-common fingerprint."""
+    shared = "delta epsilon zeta eta theta iota kappa lam"
+    rows = [
+        (1, "alpha beta gamma " + shared + " mu nu"),
+        (2, "pre1 pre2 pre3 " + shared + " post1"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, ""),
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def winnow(text):
+        ws = (text or "").split()
+        hs = [portable_hash64_py(" ".join(ws[i:i + k]))
+              for i in range(len(ws) - k + 1)]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            m = min(win)
+            pos = s + max(i for i, h in enumerate(win) if h == m)
+            out.add(hs[pos])
+        return out
+
+    sets = {i: winnow(t) for i, t in rows}
+    for min_shared in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in textstats.winnow_overlap_pairs(
+                df, "doc_id", "text", k=k, w=w, min_shared=min_shared
+            ).collect()
+        }
+        exp = {}
+        for a in (1, 2, 3):
+            for b in range(a + 1, 5):
+                c = len(sets[a] & sets.get(b, set()))
+                if c >= min_shared:
+                    exp[(a, b)] = c
+        assert got == exp, (min_shared, got, exp)
+    assert (1, 2) in got  # the planted shared run pairs at min_shared=2
+
+    # max_df guard: a fp in all three docs is dropped before pairing
+    df3 = spark.createDataFrame(
+        [(i, "common run here always forever and ever "
+             + ("tail%d " % i) * 6)
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    unguarded = textstats.winnow_overlap_pairs(
+        df3, "doc_id", "text", k=k, w=w, min_shared=1
+    ).count()
+    guarded = textstats.winnow_overlap_pairs(
+        df3, "doc_id", "text", k=k, w=w, min_shared=1, max_df=2
+    ).count()
+    assert unguarded == 3 and guarded == 0
+    with pytest.raises(ValueError, match="min_shared"):
+        textstats.winnow_overlap_pairs(df, "doc_id", "text", min_shared=0)
+    with pytest.raises(ValueError, match="max_df"):
+        textstats.winnow_overlap_pairs(df, "doc_id", "text", max_df=1)

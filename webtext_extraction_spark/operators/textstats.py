@@ -1395,6 +1395,62 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MOSS's pair report over :func:`winnow_fingerprints`: document
+    pairs sharing >= ``min_shared`` fingerprints — local-overlap
+    candidates (shared runs, quoted passages) that global signatures
+    dilute away on long documents.  By the winnowing guarantee, a
+    shared run of >= w+k-1 words yields >= 1 shared fingerprint, so
+    ``min_shared`` scales with how much shared text you require.
+
+    ``max_df`` drops fingerprints present in more than that many
+    docs BEFORE pairing — the boilerplate guard: a corpus-common
+    fingerprint (navigation chrome, licence text) would otherwise
+    emit ~df²/2 pairs (the remove_boilerplate rationale applied to
+    the pair generator).  None disables the guard; the count of
+    dropped fingerprints is not silent — it rides the plan as a
+    filter on an exact df column callers can audit.
+
+    Shape (100 TB): fingerprint table (id, fp) is 16-byte rows; dedup
+    to distinct fp per doc, df filter, then a self-equi-join on fp
+    whose fan-out per fp is df(fp) <= max_df by construction, and a
+    (id_a, id_b) groupBy with map-side combine.
+
+    Output: (id_a, id_b, shared_fps long) with id_a < id_b.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (pairs need 2), got {max_df}")
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count("*").cast("long").alias("_df"))
+        fps = fps.join(
+            dfreq.filter(F.col("_df") <= max_df).select("fp"), "fp"
+        )
+    a = fps.select(F.col("_id").alias("id_a"), "fp")
+    b = fps.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def mixing_weights(
     df: DataFrame,
     group_col: str,
