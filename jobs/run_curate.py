@@ -10,8 +10,11 @@ jobs/run_extract.py):
         --lang en --min-quality 0.6 --max-dup-frac 0.8 \\
         --bench /data/benchmarks --dedup neardup --scrub-pii
 
-Gates compose in one DataFrame statement (each is the library
-operator the driver gate oracles): language/quality (text_profile),
+Input is a documents parquet, or raw Common Crawl WET files with
+``--input-format wet`` (sources/wet — deterministic hashed doc_ids,
+url-host sources).  Gates compose in one DataFrame statement (each
+is the library operator the driver gate oracles): language/quality
+(text_profile),
 the Gopher/FineWeb rule battery (quality_gate, --gopher-gate),
 repetition (repetition_profile, Gopher dup_word_char_frac), benchmark
 decontamination (4-gram overlap vs --bench), near-dup cluster keepers
@@ -40,7 +43,15 @@ os.environ["PYTHONPATH"] = (
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="corpus curation job")
-    parser.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    parser.add_argument("--input", required=True,
+                        help="documents parquet (doc_id, text, ...) or a "
+                             "WET directory with --input-format wet")
+    parser.add_argument("--input-format", choices=["parquet", "wet"],
+                        default="parquet",
+                        help="'wet' ingests WARC/WET (Common Crawl) files: "
+                             "url/date/text parse into the documents shape "
+                             "with a deterministic doc_id (md5 of record-id, "
+                             "falling back to url) and source = url host")
     parser.add_argument("--output", required=True)
     parser.add_argument("--id-col", default="doc_id")
     parser.add_argument("--text-col", default="text")
@@ -108,7 +119,28 @@ def main(argv=None):
     spark = SparkSession.builder.appName("webtext-curate").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "wet":
+        # Common Crawl in, documents shape out: deterministic doc_id
+        # (portable md5 of the record id, url fallback — stable
+        # across runs and engines), source = url host so the
+        # per-source gates (mixing, overlap, reports) work untouched
+        from webtext_extraction_spark.functions.text import (
+            domain_of,
+            portable_hash64,
+        )
+        from webtext_extraction_spark.sources.wet import open_wet
+
+        wet = open_wet(spark, args.input)
+        docs = wet.select(
+            portable_hash64(
+                F.coalesce(F.col("record_id"), F.col("url"), F.lit(""))
+            ).alias(args.id_col),
+            F.col("text").alias(args.text_col),
+            F.col("url"),
+            domain_of(F.col("url")).alias("source"),
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     idc, txt = args.id_col, args.text_col
     out = docs
 

@@ -238,3 +238,43 @@ def test_run_curate_containment_dedup(spark, tmp_path, monkeypatch):
     run_curate.main(["--input", p, "--output", out, "--dedup", "containment"])
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 5}
+
+
+def test_run_curate_wet_ingestion_end_to_end(spark, tmp_path, monkeypatch):
+    """--input-format wet: Common Crawl records in, gated documents
+    parquet out — stable hashed doc_ids, url-host sources, and the
+    downstream gates compose unchanged."""
+    import os
+
+    from jobs import run_curate
+    from webtext_extraction_spark.functions.text import portable_hash64_py
+
+    d = str(tmp_path / "wet_in")
+    os.makedirs(d)
+    recs = []
+    for i in range(12):
+        body = ("a normal page with plenty of words to pass the gate "
+                "number %d repeated content here" % i)
+        if i == 5:
+            body = "tiny"
+        recs.append(
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: http://site{i % 2}.test/p/{i}\r\n"
+            "WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n" + body
+        )
+    open(os.path.join(d, "f.wet"), "w").write("\r\n\r\n".join(recs))
+    out = str(tmp_path / "wet_curated")
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    run_curate.main([
+        "--input", d, "--input-format", "wet", "--output", out,
+        "--gopher-gate", "--gate-min-words", "5",
+    ])
+    got = spark.read.parquet(out)
+    rows = {r["url"]: r for r in got.collect()}
+    assert len(rows) == 11  # the tiny doc fails the word floor
+    assert "http://site1.test/p/5" not in rows
+    r0 = rows["http://site0.test/p/0"]
+    assert r0["doc_id"] == portable_hash64_py("<urn:uuid:rec-0>")
+    assert r0["source"] == "site0.test"
