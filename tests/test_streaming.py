@@ -595,3 +595,59 @@ def test_stream_decontaminate_bloom_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert streamed2 == batch2 and len(batch2) == 40
+
+
+def test_stream_wet_ingest_matches_batch(spark, tmp_path):
+    """Streaming WET intake equals the batch reader row-for-row over
+    the same segments; new segments arriving drain exactly once."""
+    import os
+
+    from webtext_extraction_spark.functions.text import (
+        domain_of,
+        portable_hash64,
+    )
+    from webtext_extraction_spark.sources.wet import open_wet
+    from webtext_extraction_spark.streaming.stream import stream_wet_ingest
+
+    inp = str(tmp_path / "wet_stream_in")
+    out = str(tmp_path / "wet_stream_out")
+    ckpt = str(tmp_path / "wet_stream_ckpt")
+    os.makedirs(inp)
+
+    def _segment(name, lo, hi):
+        recs = [
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: http://s{i % 3}.test/p/{i}\r\n"
+            "WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"Content-Length: 10\r\n\r\ndoc body {i}"
+            for i in range(lo, hi)
+        ]
+        open(os.path.join(inp, name), "w").write("\r\n\r\n".join(recs))
+
+    def _batch():
+        wet = open_wet(spark, inp)
+        return sorted(
+            tuple(r)
+            for r in wet.select(
+                portable_hash64(
+                    F.coalesce(F.col("record_id"), F.col("url"), F.lit(""))
+                ).alias("doc_id"),
+                "text",
+                "url",
+                domain_of(F.col("url")).alias("source"),
+            ).collect()
+        )
+
+    _segment("seg0.wet", 0, 10)
+    q = stream_wet_ingest(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == _batch() and len(got) == 10
+    assert all(r[3] in ("s0.test", "s1.test", "s2.test") for r in got)
+
+    _segment("seg1.wet", 10, 16)
+    q2 = stream_wet_ingest(spark, inp, out, ckpt)
+    q2.awaitTermination(300)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got2 == _batch() and len(got2) == 16

@@ -13,6 +13,9 @@ a Kafka transcript feed would take).  Three tiers:
 - ``stream_decontaminate_bloom`` — per-micro-batch benchmark
   decontamination against a static bench (per-doc semantics, so
   foreachBatch runs the batch operator verbatim: batch ≡ stream);
+- ``stream_wet_ingest`` — Common Crawl WET segments parsed as they
+  land, written documents-shaped (same expressions as the batch
+  reader: batch ≡ stream);
 - ``stream_status_rollup`` — event-time windowed A6 metrics with a
   watermark: late rows beyond the watermark are dropped, closed
   windows emit exactly once (append mode);
@@ -98,6 +101,60 @@ def stream_quality_gate(
     gated = quality_gate(stream, "doc_id", "text", **gate_kwargs)
     writer = (
         gated.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_wet_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming Common Crawl ingestion: WET segments landing in
+    ``input_dir`` are parsed and written as documents-shaped parquet
+    (doc_id, text, url, source) as they arrive — the live-crawl
+    intake that feeds every batch operator downstream.  Record
+    splitting and header parsing are the SAME column expressions as
+    the batch reader (``sources/wet.parse_wet_records`` over a
+    lineSep-delimited text stream), so batch ≡ stream row-for-row;
+    doc_id is the portable md5 of the record id (url fallback) —
+    stable across engines and re-runs, so downstream incremental
+    dedup (minhash_lsh_pairs_incremental) keys on it directly."""
+    from webtext_extraction_spark.functions.text import (
+        domain_of,
+        portable_hash64,
+    )
+    from webtext_extraction_spark.sources.wet import (
+        WET_RECORD_DELIM,
+        parse_wet_records,
+    )
+
+    raw = (
+        spark.readStream.option("lineSep", WET_RECORD_DELIM)
+        .option("maxFilesPerTrigger", 8)
+        .text(input_dir)
+    )
+    docs = (
+        parse_wet_records(raw)
+        .filter(F.coalesce(F.col("warc_type"), F.lit("")) != "warcinfo")
+        .select(
+            portable_hash64(
+                F.coalesce(F.col("record_id"), F.col("url"), F.lit(""))
+            ).alias("doc_id"),
+            F.col("text"),
+            F.col("url"),
+            domain_of(F.col("url")).alias("source"),
+        )
+    )
+    writer = (
+        docs.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
