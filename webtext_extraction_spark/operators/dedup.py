@@ -175,7 +175,23 @@ def minhash_lsh_pairs(
     whitespace-only docs with DIFFERING bytes (``' '`` vs ``'  '``)
     are zero-token here but distinct under byte-exact md5 — run
     ``exact_duplicates(..., normalize_ws=True)`` when degenerate docs
-    need a dedup owner."""
+    need a dedup owner.
+
+    Plan shape (optimization r6, guide §2.3/§2.4 — output unchanged,
+    oracle-verified):
+    - the zero-token guard is ``text RLIKE '\\S'`` — the SAME predicate
+      as ``size(hashed_word_set(text)) > 0`` (a token exists iff some
+      non-whitespace char exists; NULL text fails rlike), but it
+      pushes to the scan WITHOUT re-evaluating the md5 tokenization
+      inside the pushed filter (the old guard doubled the tokenize);
+    - candidate pairs are deduplicated by FIRST-COLLIDING-BAND
+      ownership (a pair is emitted only from the lowest band where the
+      buckets agree) instead of a post-join dropDuplicates — that
+      removes one Exchange + two SortAggregates carrying full hashed
+      word-set arrays from the plan;
+    - exact Jaccard uses |A∩B| and the precomputed set sizes
+      (|A∪B| = |A|+|B|-|A∩B| for distinct-element arrays) so the
+      verification never materializes the union array."""
     rows_per_band = num_hashes // bands
 
     def perm(a: int, b: int):
@@ -185,66 +201,73 @@ def minhash_lsh_pairs(
             MINHASH_PRIME
         )
 
-    base = df.select(
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col).alias("_id"),
         hashed_word_set(F.col(text_col)).alias("_ws"),
-    ).filter(F.size("_ws") > 0)
-    sigs = base.withColumn(
-        "minhash",
+    )
+    sigs = base.select(
+        "_id",
+        "_ws",
+        F.size("_ws").alias("_sz"),
         F.array(
             *[
                 F.array_min(F.transform(F.col("_ws"), perm(a, b)))
                 for a, b in _perm_params(num_hashes)
             ]
-        ),
+        ).alias("_mh"),
     )
     # bucket key = the band slice itself, stringified: equality is then
-    # portable (no engine-specific hash in the collision definition)
+    # portable (no engine-specific hash in the collision definition).
+    # NOTE: the generator argument must stay an inline CreateArray —
+    # posexplode of a materialized column makes InferFiltersFromGenerate
+    # push a size(...)>0 guard that re-inlines the whole minhash
+    # computation into the scan filter (plan-audited regression).
+    bucket_strs = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col("_mh").getItem(j).cast("string")
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
     banded = sigs.select(
-        "_id",
-        "_ws",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_ws", "bb.band", "bb.bucket")
+        "_id", "_ws", "_sz", "_mh",
+        F.posexplode(F.array(*bucket_strs)).alias("band", "bucket"),
+    )
     left = banded.alias("l")
     right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._ws").alias("ws_a"),
-            F.col("r._ws").alias("ws_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # first-colliding-band ownership: any earlier band whose buckets
+    # also agree owns the pair, so this band must NOT emit it (bucket
+    # strings are injective over the minhash slice, so value equality
+    # over the slice == bucket equality)
+    earlier_match = F.lit(False)
+    for i in range(bands - 1):
+        band_eq = F.lit(True)
+        for j in range(i * rows_per_band, (i + 1) * rows_per_band):
+            band_eq = band_eq & (
+                F.col("l._mh").getItem(j) == F.col("r._mh").getItem(j)
+            )
+        earlier_match = earlier_match | ((F.col("l.band") > i) & band_eq)
+    joined = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id"))
+        & ~earlier_match,
     )
-    wa, wb = F.col("ws_a"), F.col("ws_b")
-    jac = F.size(F.array_intersect(wa, wb)) / F.size(F.array_union(wa, wb))
-    return (
-        candidates.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    inter = F.size(F.array_intersect(F.col("l._ws"), F.col("r._ws")))
+    jac = F.round(inter / (F.col("l._sz") + F.col("r._sz") - inter), 6)
+    # explode barrier: keeps the threshold filter from being pushed into
+    # the join condition (where the expensive intersect would run before
+    # the cheap id/band predicates) and evaluates the Jaccard exactly
+    # once per candidate instead of filter+project re-evaluation
+    return joined.select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.explode(F.array(jac)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def minhash_signatures(
@@ -379,6 +402,9 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     # propagate NULL (r4 random-corpus soak finding).  Zero-token docs
     # therefore all carry fingerprint 0 and trivially pair with each
     # other in simhash_near_duplicates — identical on both engines.
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     ws = F.coalesce(word_set(F.col(text_col)), F.array().cast("array<string>"))
     hashes = F.transform(ws, lambda w: portable_hash64(w))
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])

@@ -46,8 +46,22 @@ def detect_hot_keys(
         scan = scan.sample(fraction=sample_fraction, seed=42)
     per_key = scan.groupBy(key).agg(F.sum("_bytes").alias("_key_bytes"))
     if threshold_bytes is None:
-        mean = per_key.agg(F.avg("_key_bytes")).first()[0] or 0.0
-        threshold_bytes = int(mean * skew_factor)
+        # ONE job instead of two (guide §2.4): the mean is a broadcast
+        # 1-row aggregate of per_key crossJoined back, so both branches
+        # share the same per-key Exchange (ReuseExchange — plan-audited)
+        # instead of re-running the scan + partial agg for the scalar
+        # mean first.  floor(avg·factor) replicates the old driver-side
+        # int(mean * skew_factor) truncation (both operands >= 0).
+        mean_row = per_key.agg(F.avg("_key_bytes").alias("_mean"))
+        hot = (
+            per_key.join(F.broadcast(mean_row))
+            .filter(
+                F.col("_key_bytes")
+                > F.floor(F.coalesce(F.col("_mean"), F.lit(0.0)) * skew_factor)
+            )
+            .select(key)
+        )
+        return [r[0] for r in hot.collect()]
     hot = per_key.filter(F.col("_key_bytes") > threshold_bytes).select(key)
     return [r[0] for r in hot.collect()]
 
@@ -135,6 +149,31 @@ def salted_repartition(
     else:
         salt = F.lit(0)
     return df.repartition(num_partitions, F.xxhash64(F.col(key)), salt)
+
+
+def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Input-layout guard (guide §2.5 input skew / §6 small files): when
+    the plan yields fewer partitions than the cluster's parallelism —
+    one small parquet file, a single row group, an unsplittable codec —
+    per-row expression work (token hashing, minhash/simhash signatures,
+    vector math) runs on ONE core no matter how many the job has.
+    Rebalance once so compute-heavy projections use every core.
+
+    Scale-adaptive, not a local tune: any at-scale input already has
+    >= target splits, making this a structural no-op (zero added
+    shuffle at 100 TB); it only fires on under-split inputs, where the
+    rebalanced bytes are by definition small.  Uses an explicit
+    partition count so AQE does not re-coalesce the rebalance away.
+    Row-level results are partitioning-independent in every caller
+    (per-row columns, equi-join pair sets, deterministically tie-broken
+    rankings)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions if min_partitions is not None else sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def bucket_id(key_col, num_buckets: int):

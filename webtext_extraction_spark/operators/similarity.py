@@ -133,12 +133,18 @@ def cosine_topk(
     """Brute-force cosine top-k for the given query ids against the
     full table.  (query_id, neighbor_id, cos) with deterministic
     tie-breaking (cos desc, neighbor_id asc)."""
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
     if query_ids is None:
         query_ids = [0, 1, 2]
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    base = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    # the brute-force scoring scan is the per-row-heavy side (one cosine
+    # per row per query) — rebalance under-split inputs (guide §2.5)
+    base = ensure_scan_parallelism(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec")
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(base)
@@ -195,9 +201,13 @@ def lsh_ann_topk(
     """Bucketed ANN: probe only the query's own LSH bucket.  Recall<1
     by design; the bucket restriction is the 100 TB lever (candidates
     shrink 2^planes-fold and the join is an equi-join on bucket)."""
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
     if query_ids is None:
         query_ids = [0, 1, 2]
-    bucketed = with_lsh_bucket(embeddings, vec_col, num_planes, dim)
+    bucketed = with_lsh_bucket(
+        ensure_scan_parallelism(embeddings), vec_col, num_planes, dim
+    )
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -1262,7 +1262,9 @@ def hist_quantiles(
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document profile: the operator queries() exposes."""
-    out = token_counts(df, text_col)
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
+    out = token_counts(ensure_scan_parallelism(df), text_col)
     return out.select(
         F.col(id_col),
         lang_id_expr(F.col(text_col)).alias("lang_pred"),
