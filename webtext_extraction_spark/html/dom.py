@@ -70,7 +70,10 @@ class TextNode:
 
     @property
     def text(self) -> str:
-        return "".join(p[0] for p in self.pieces)
+        pieces = self.pieces
+        if len(pieces) == 1:  # the overwhelmingly common shape
+            return pieces[0][0]
+        return "".join(p[0] for p in pieces)
 
 
 class Element:
@@ -323,6 +326,15 @@ class Document(Element):
         super().__init__("[document]", {}, None)
         self.decompose_epoch = 0
         self._dom_index: _DomIndex | None = None
+        # document-order element list maintained by the parse-time
+        # builder (append-only pre-order == walk order); valid as a
+        # descendants() shortcut only while NOTHING has been decomposed
+        self._parse_order: list | None = None
+
+    def descendants(self):
+        if self.decompose_epoch == 0 and self._parse_order is not None:
+            return list(self._parse_order)
+        return super().descendants()
 
     def ensure_index(self) -> _DomIndex:
         if self._dom_index is None:
@@ -381,6 +393,7 @@ class _TreeBuilder(HTMLParser):
         self._pos = 0
         self._rebase = 0
         self.root = Document()
+        self.root._parse_order = []
         self.stack: list[Element] = [self.root]
         self.order = 0  # document pre-order counter (creation order)
         self.pending: list = []  # text pieces awaiting flush
@@ -403,13 +416,20 @@ class _TreeBuilder(HTMLParser):
             parent.children.append(TextNode(self.pending, parent))
             self.pending = []
 
-    # -- tag events ----------------------------------------------------------
+    # -- tag events (hot path: _flush_text / _attr_map are inlined — the
+    # per-event call overhead is measurable at millions of pages) -----------
     def handle_starttag(self, tag, attrs):
-        self._flush_text()
-        attr_map = _attr_map(attrs)
+        parent = self.stack[-1]
+        if self.pending:
+            parent.children.append(TextNode(self.pending, parent))
+            self.pending = []
+        attr_map = {}
+        for k, v in attrs:
+            attr_map[k] = v if v is not None else ""
         self.order += 1
-        el = Element(tag, attr_map, self.stack[-1], self.order)
-        self.stack[-1].children.append(el)
+        el = Element(tag, attr_map, parent, self.order)
+        parent.children.append(el)
+        self.root._parse_order.append(el)
         if tag not in VOID_ELEMENTS:
             if len(self.stack) >= MAX_DEPTH:
                 self.overflow_tags.append(tag)  # attach flat; named close below
@@ -417,14 +437,23 @@ class _TreeBuilder(HTMLParser):
                 self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        self._flush_text()
-        attr_map = _attr_map(attrs)
+        parent = self.stack[-1]
+        if self.pending:
+            parent.children.append(TextNode(self.pending, parent))
+            self.pending = []
+        attr_map = {}
+        for k, v in attrs:
+            attr_map[k] = v if v is not None else ""
         self.order += 1
-        el = Element(tag, attr_map, self.stack[-1], self.order)
-        self.stack[-1].children.append(el)
+        el = Element(tag, attr_map, parent, self.order)
+        parent.children.append(el)
+        self.root._parse_order.append(el)
 
     def handle_endtag(self, tag):
-        self._flush_text()
+        if self.pending:
+            parent = self.stack[-1]
+            parent.children.append(TextNode(self.pending, parent))
+            self.pending = []
         if self.overflow_tags:
             # consume the most recent MATCHING flattened open (closing
             # any flattened opens above it, stack-scan semantics); an
@@ -447,7 +476,7 @@ class _TreeBuilder(HTMLParser):
 
     # -- text events ---------------------------------------------------------
     def handle_data(self, data):
-        start = self._abs()
+        start = self._rebase + self._pos
         self.pending.append((data, start, start + len(data), True))
 
     def handle_entityref(self, name):
@@ -484,16 +513,20 @@ class _TreeBuilder(HTMLParser):
 
     # comments / declarations / PIs contribute no text
     def handle_comment(self, data):
-        self._flush_text()
+        if self.pending:
+            self._flush_text()
 
     def handle_decl(self, decl):
-        self._flush_text()
+        if self.pending:
+            self._flush_text()
 
     def handle_pi(self, data):
-        self._flush_text()
+        if self.pending:
+            self._flush_text()
 
     def unknown_decl(self, data):
-        self._flush_text()
+        if self.pending:
+            self._flush_text()
 
 
 def parse(payload: str) -> Document:

@@ -68,12 +68,27 @@ if FAST_FEED_AVAILABLE:
 
 _TAG_BREAK_CHARS = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+# fast paths for the two overwhelmingly-common tag shapes: '<name>' and
+# '</name>' with a plain ASCII-alphanumeric name and no attributes /
+# whitespace.  For exactly these inputs the stdlib machinery (two or
+# three tolerant regexes + a failed attrfind + strip) provably produces
+# handle_starttag(name.lower(), []) / handle_endtag(name.lower()) with
+# the same end position, so one anchored match replaces the chain;
+# anything else falls through to the stdlib-regex path unchanged.
+_SIMPLE_START = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
+_SIMPLE_END = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
+
 
 def _parse_starttag(b, rawdata: str, i: int):
     """HTMLParser.parse_starttag + check_for_whole_start_tag, end=1.
 
     Returns (endpos, cdata_elem_opened) — endpos < 0 means the construct
     is unrecoverable at EOF (caller runs the data-fallback)."""
+    m = _SIMPLE_START.match(rawdata, i + 1)
+    if m:
+        tag = m.group(1).lower()
+        b.handle_starttag(tag, [])
+        return m.end(), tag if tag in _CDATA_CLOSE else None
     m = locatestarttagend_tolerant.match(rawdata, i)
     j = m.end()
     nextc = rawdata[j : j + 1]
@@ -123,6 +138,15 @@ def _parse_starttag(b, rawdata: str, i: int):
 
 def _parse_endtag(b, rawdata: str, i: int, cdata_elem):
     """HTMLParser.parse_endtag.  Returns (endpos, new_cdata_elem)."""
+    m = _SIMPLE_END.match(rawdata, i + 2)
+    if m:
+        elem = m.group(1).lower()
+        if cdata_elem is not None and elem != cdata_elem:
+            b._pos = i
+            b.handle_data(rawdata[i : m.end()])
+            return m.end(), cdata_elem
+        b.handle_endtag(elem)
+        return m.end(), None  # clear_cdata_mode
     match = endendtag.search(rawdata, i + 1)  # any '>'
     if not match:
         return -1, cdata_elem
@@ -254,22 +278,27 @@ def fast_feed(b, rawdata: str) -> None:
             break
         c = rawdata[i]
         if c == "<":
-            if starttagopen.match(rawdata, i):  # '<' + letter
+            # single-char dispatch — same decision tree as the stdlib's
+            # startswith chain ('<'+letter / '</' / '<!--' / '<?' / '<!')
+            # without a regex match per tag (starttagopen is '<[a-zA-Z]')
+            nxt = rawdata[i + 1 : i + 2]
+            if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
                 k, opened = _parse_starttag(b, rawdata, i)
                 if opened is not None:
                     cdata_elem = opened
                     interesting = _CDATA_CLOSE[opened]
-            elif rawdata.startswith("</", i):
+            elif nxt == "/":
                 k, new_cdata = _parse_endtag(b, rawdata, i, cdata_elem)
                 if new_cdata is not cdata_elem and k >= 0:
                     cdata_elem = new_cdata
                     interesting = interesting_normal
-            elif rawdata.startswith("<!--", i):
-                k = _parse_comment(b, rawdata, i)
-            elif rawdata.startswith("<?", i):
+            elif nxt == "!":
+                if rawdata.startswith("<!--", i):
+                    k = _parse_comment(b, rawdata, i)
+                else:
+                    k = _parse_html_declaration(b, rawdata, i)
+            elif nxt == "?":
                 k = _parse_pi(b, rawdata, i)
-            elif rawdata.startswith("<!", i):
-                k = _parse_html_declaration(b, rawdata, i)
             elif i + 1 < n:
                 b._pos = i
                 handle_data("<")

@@ -112,7 +112,12 @@ def extract_main_content(
     for selector in rules.MAIN_CONTENT_SELECTORS:
         elements = dom.select(selector)
         if elements:
-            best = max(elements, key=lambda e: len(e.get_text(strip=True)))
+            # singleton fast path: the ranking walk is pure tie-breaking,
+            # a single candidate needs no get_text pass
+            if len(elements) == 1:
+                best = elements[0]
+            else:
+                best = max(elements, key=lambda e: len(e.get_text(strip=True)))
             decompose_all(best, rules.UNWANTED_SELECTORS)
             main_text = best.get_text_tracked(separator="\n", strip=True)
             if main_text.text:

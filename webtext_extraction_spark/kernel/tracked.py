@@ -29,6 +29,28 @@ import numpy as np
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
+def _offsets_from_runs(runs: list[tuple[int, int]]) -> np.ndarray:
+    """Offset array for a list of (src_start | -1, length) runs — the
+    vectorized equivalent of concatenating ``arange(s, s+l)`` (literal)
+    and ``full(l, -1)`` (synthetic) per run."""
+    if not runs:
+        return _EMPTY
+    if len(runs) == 1:
+        s, l = runs[0]
+        if s < 0:
+            return np.full(l, -1, dtype=np.int64)
+        return np.arange(s, s + l, dtype=np.int64)
+    starts = np.fromiter((r[0] for r in runs), dtype=np.int64, count=len(runs))
+    lens = np.fromiter((r[1] for r in runs), dtype=np.int64, count=len(runs))
+    firstpos = np.cumsum(lens) - lens
+    lit = starts >= 0
+    base = np.where(lit, starts - firstpos, -1)
+    total = int(firstpos[-1] + lens[-1])
+    return np.repeat(base, lens) + np.arange(total, dtype=np.int64) * np.repeat(
+        lit.view(np.int8), lens
+    )
+
+
 def _chain_one(first, rest):
     yield first
     yield from rest
@@ -78,21 +100,22 @@ class TrackedText:
     def from_text_nodes(cls, nodes, separator: str = "", strip: bool = False) -> "TrackedText":
         """Assemble DOM TextNodes into one TrackedText — result identical
         to ``join(separator, [from_pieces(n.pieces).strip()? for n])``
-        but flat: one offset array per kept piece and ONE final
-        concatenate, instead of per-node intermediates (the hot path of
-        ``get_text_tracked`` on large pages)."""
+        but flat: per kept piece only a (start, len) RUN tuple is
+        recorded (start -1 = synthetic) and the whole offset array is
+        built by ONE vectorized repeat+arange pass at the end — no
+        per-piece numpy arrays, no concatenate of dozens of small
+        arrays (the hot path of ``get_text_tracked`` on large pages)."""
         texts: list[str] = []
-        offs: list[np.ndarray] = []
-        sep_off = np.full(len(separator), -1, dtype=np.int64) if separator else None
+        runs: list[tuple[int, int]] = []  # (src_start or -1, length)
+        sep_len = len(separator)
         first = True
         for tn in nodes:
             pieces = tn.pieces
             if len(pieces) == 1:
-                t, s, _e, lit = pieces[0]
-                a, b = 0, len(t)
+                t = pieces[0][0]
             else:
                 t = "".join(p[0] for p in pieces)
-                a, b = 0, len(t)
+            a, b = 0, len(t)
             if strip:
                 stripped = t.strip()
                 if not stripped:
@@ -101,16 +124,13 @@ class TrackedText:
                 b = a + len(stripped)
             if not first and separator:
                 texts.append(separator)
-                offs.append(sep_off)
+                runs.append((-1, sep_len))
             first = False
             if len(pieces) == 1:
                 if b > a:
                     texts.append(t[a:b])
-                    if pieces[0][3]:
-                        s = pieces[0][1]
-                        offs.append(np.arange(s + a, s + b, dtype=np.int64))
-                    else:
-                        offs.append(np.full(b - a, -1, dtype=np.int64))
+                    p0 = pieces[0]
+                    runs.append((p0[1] + a if p0[3] else -1, b - a))
                 continue
             # multi-piece node: clip each piece to the [a, b) keep-window
             pos = 0
@@ -119,14 +139,11 @@ class TrackedText:
                 lo, hi = max(a - pos, 0), min(b - pos, pn)
                 if hi > lo:
                     texts.append(pt[lo:hi])
-                    if lit:
-                        offs.append(np.arange(ps + lo, ps + hi, dtype=np.int64))
-                    else:
-                        offs.append(np.full(hi - lo, -1, dtype=np.int64))
+                    runs.append((ps + lo if lit else -1, hi - lo))
                 pos += pn
         if first:
             return cls.empty()
-        return cls("".join(texts), np.concatenate(offs) if offs else _EMPTY)
+        return cls("".join(texts), _offsets_from_runs(runs))
 
     @classmethod
     def join(cls, sep: str, parts: list["TrackedText"]) -> "TrackedText":
