@@ -201,7 +201,9 @@ def minhash_lsh_pairs(
             MINHASH_PRIME
         )
 
-    base = df.filter(F.col(text_col).rlike(r"\S")).select(
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(df.filter(F.col(text_col).rlike(r"\S"))).select(
         F.col(id_col).alias("_id"),
         hashed_word_set(F.col(text_col)).alias("_ws"),
     )
@@ -407,7 +409,9 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     df = ensure_scan_parallelism(df)
     ws = F.coalesce(word_set(F.col(text_col)), F.array().cast("array<string>"))
     hashes = F.transform(ws, lambda w: portable_hash64(w))
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    # ONE array literal (not bits separate Literal nodes — plan size and
+    # analysis time scale with expression-tree nodes, guide §7.3)
+    powers = F.lit([1 << b for b in range(bits)]).cast("array<bigint>")
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
     def merge(acc, h):

@@ -529,7 +529,9 @@ def asof_join_bounded(
 
 def nav_char_ratio(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
     """A5 — sum of matched phrase lengths / total length, pure SQL."""
-    phrase_arr = F.array(*[F.lit(p) for p in phrases])
+    phrase_arr = (
+        F.lit(list(phrases)) if phrases else F.array().cast("array<string>")
+    )
     matched = F.aggregate(
         F.filter(phrase_arr, lambda p: F.col(text_col).contains(p)),
         F.lit(0),

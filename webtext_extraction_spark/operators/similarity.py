@@ -179,7 +179,7 @@ def with_lsh_bucket(
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(w) for w in weights]),
+                F.lit([float(w) for w in weights]),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -238,28 +238,47 @@ def with_ivf_cell(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append ``cell`` int: index of the nearest centroid (squared-L2
-    argmin).  Centroids are deterministic constants inlined into the
-    plan — on a real deployment they come from a sampled k-means pass
-    and are broadcast the same way."""
-    best_dist = None
-    best_cell = F.lit(0)
-    for i, c in enumerate(centroids):
-        dist = F.aggregate(
+    argmin, FIRST minimal index on ties).  Centroids are deterministic
+    constants inlined into the plan — on a real deployment they come
+    from a sampled k-means pass and are broadcast the same way.
+
+    Shape note (optimization r6): the argmin is array_position(darr,
+    array_min(darr)) over a per-centroid distance array.  The previous
+    ``best = when(closer, …).otherwise(best)`` fold embedded the
+    running best TWICE per centroid — an O(2^k)-node expression tree
+    whose analysis alone took seconds per query at k=8 (guide §7.3
+    "very large plans"); the array form is linear in k and picks the
+    identical cell (array_position returns the first occurrence)."""
+    if not centroids:
+        return df.withColumn("cell", F.lit(0))
+    dists = [
+        F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(x) for x in c]),
+                F.lit([float(x) for x in c]),
                 lambda v, w: (v.cast("double") - w) * (v.cast("double") - w),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        if best_dist is None:
-            best_dist = dist
-        else:
-            closer = dist < best_dist
-            best_cell = F.when(closer, F.lit(i)).otherwise(best_cell)
-            best_dist = F.when(closer, dist).otherwise(best_dist)
-    return df.withColumn("cell", best_cell)
+        for c in centroids
+    ]
+    # coalesce: a NULL vector makes every dist NULL (centroid literals
+    # are never NULL, all dists share the vector) — the old fold left
+    # cell 0 there, so the argmin must too
+    out = df.withColumn("_ivf_darr", F.array(*dists)).withColumn(
+        "cell",
+        F.coalesce(
+            (
+                F.array_position(
+                    F.col("_ivf_darr"), F.array_min(F.col("_ivf_darr"))
+                )
+                - 1
+            ).cast("int"),
+            F.lit(0),
+        ),
+    )
+    return out.drop("_ivf_darr")
 
 
 def default_centroids(df: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -284,7 +303,10 @@ def kmeans_centroids(
     (the same handful a real deployment would broadcast).  Components
     are rounded to 6 dp so the DuckDB oracle replays bit-identically;
     an empty cell keeps its previous centroid."""
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
     cents = default_centroids(df, k, id_col, vec_col)
+    df = ensure_scan_parallelism(df)
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         celled = with_ivf_cell(df, cents, vec_col)
@@ -316,7 +338,7 @@ def probe_cells(
         dist = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(x) for x in c]),
+                F.lit([float(x) for x in c]),
                 lambda v, w: (v.cast("double") - w) * (v.cast("double") - w),
             ),
             F.lit(0.0),
@@ -355,7 +377,9 @@ def ivf_ann_topk(
         )
     else:
         centroids = default_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
-    celled = with_ivf_cell(embeddings, centroids, vec_col)
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
+    celled = with_ivf_cell(ensure_scan_parallelism(embeddings), centroids, vec_col)
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -442,9 +466,11 @@ def cosine_topk_int8(
     cosine.  Recall loss happens only if a true top-k neighbor falls
     outside the quantized top-(rerank_factor·k), which quantization
     error of ≲1% makes rare."""
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
     if query_ids is None:
         query_ids = [0, 1, 2]
-    quant = with_int8_quantization(embeddings, vec_col)
+    quant = with_int8_quantization(ensure_scan_parallelism(embeddings), vec_col)
     queries = quant.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -484,7 +510,11 @@ def embedding_near_duplicates(
     dim: int = 64,
 ) -> DataFrame:
     """Cosine near-dup pairs within LSH buckets (id_a < id_b)."""
-    bucketed = with_lsh_bucket(embeddings, vec_col, num_planes, dim)
+    from webtext_extraction_spark.operators.partitioning import ensure_scan_parallelism
+
+    bucketed = with_lsh_bucket(
+        ensure_scan_parallelism(embeddings), vec_col, num_planes, dim
+    )
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket").alias("ba")
     )
