@@ -291,10 +291,13 @@ def minhash_signatures(
             MINHASH_PRIME
         )
 
-    base = df.select(
+    # rlike guard == size(hashed_word_set)>0 (a token exists iff a
+    # non-ws char exists) without re-running the tokenize in the
+    # pushed-down filter — see minhash_lsh_pairs
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col).alias("_id"),
         hashed_word_set(F.col(text_col)).alias("_ws"),
-    ).filter(F.size("_ws") > 0)
+    )
     return base.select(
         F.col("_id").alias(id_col),
         F.col("_ws").alias("ws_hashes"),
@@ -341,53 +344,53 @@ def minhash_lsh_pairs_incremental(
         F.col(id_col), "ws_hashes", "minhash"
     ).withColumn("_new", F.lit(False))
     allsigs = new_sigs.unionByName(prior)
+    # same optimized shape as minhash_lsh_pairs: inline CreateArray
+    # generator (no inferred size() filter), first-colliding-band pair
+    # ownership instead of a dropDuplicates carrying word-set arrays,
+    # sizes-based Jaccard behind an explode barrier
+    bucket_strs = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col("minhash").getItem(j).cast("string")
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
     banded = allsigs.select(
         F.col(id_col).alias("_id"),
         F.col("ws_hashes").alias("_ws"),
+        F.size("ws_hashes").alias("_sz"),
+        F.col("minhash").alias("_mh"),
         "_new",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_ws", "_new", "bb.band", "bb.bucket")
+        F.posexplode(F.array(*bucket_strs)).alias("band", "bucket"),
+    )
     left = banded.alias("l")
     right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id"))
-            & (F.col("l._new") | F.col("r._new")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._ws").alias("ws_a"),
-            F.col("r._ws").alias("ws_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    earlier_match = F.lit(False)
+    for i in range(bands - 1):
+        band_eq = F.lit(True)
+        for j in range(i * rows_per_band, (i + 1) * rows_per_band):
+            band_eq = band_eq & (
+                F.col("l._mh").getItem(j) == F.col("r._mh").getItem(j)
+            )
+        earlier_match = earlier_match | ((F.col("l.band") > i) & band_eq)
+    joined = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id"))
+        & (F.col("l._new") | F.col("r._new"))
+        & ~earlier_match,
     )
-    wa, wb = F.col("ws_a"), F.col("ws_b")
-    jac = F.size(F.array_intersect(wa, wb)) / F.size(F.array_union(wa, wb))
-    return (
-        candidates.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    inter = F.size(F.array_intersect(F.col("l._ws"), F.col("r._ws")))
+    jac = F.round(inter / (F.col("l._sz") + F.col("r._sz") - inter), 6)
+    return joined.select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.explode(F.array(jac)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def with_simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
@@ -484,20 +487,29 @@ def simhash_near_duplicates(
         ).alias("bk"),
     ).select("_id", "simhash", "bk.block", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
+    # first-colliding-block ownership replaces the post-join
+    # dropDuplicates (one Exchange + aggregate removed — the same move
+    # as minhash_lsh_pairs): a pair is emitted only by the lowest block
+    # whose keys agree
+    blocks = simhash_blocks(bits, max_hamming)
+    earlier_match = F.lit(False)
+    for i, (off, width) in enumerate(blocks[:-1]):
+        key_eq = (
+            F.shiftright(F.col("a.simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
+            == F.shiftright(F.col("b.simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        earlier_match = earlier_match | ((F.col("a.block") > i) & key_eq)
+    candidates = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id"))
+        & ~earlier_match,
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a.simhash").alias("_sa"),
+        F.col("b.simhash").alias("_sb"),
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (

@@ -108,21 +108,27 @@ def probe_payload_stats(
     per_key = scan.groupBy(key).agg(
         F.sum("_bytes").alias("_key_bytes"), F.count("*").alias("_rows")
     )
-    totals = per_key.agg(
+    totals_df = per_key.agg(
         F.avg("_key_bytes").alias("mean_key_bytes"),
         (F.sum("_key_bytes") / F.sum("_rows")).alias("mean_row_bytes"),
-    ).first()
+    )
+    if estimate_dup_ratio and bytes_col is None:
+        # fold the dup estimate into the SAME probe job (one crossJoin
+        # of two 1-row aggregates) instead of a third driver round-trip
+        totals_df = totals_df.crossJoin(
+            scan.agg(
+                F.count("*").alias("_n"), F.approx_count_distinct("_ph").alias("_d")
+            )
+        )
+    totals = totals_df.first()
     mean_key = totals["mean_key_bytes"] or 0.0
     hot = per_key.filter(
         F.col("_key_bytes") > int(mean_key * skew_factor)
     ).select(key)
     dup_ratio = 0.0
     if estimate_dup_ratio and bytes_col is None:
-        d = scan.agg(
-            F.count("*").alias("_n"), F.approx_count_distinct("_ph").alias("_d")
-        ).first()
-        if d["_n"]:
-            dup_ratio = max(0.0, 1.0 - d["_d"] / d["_n"])
+        if totals["_n"]:
+            dup_ratio = max(0.0, 1.0 - totals["_d"] / totals["_n"])
     return {
         "hot_keys": [r[0] for r in hot.collect()],
         "mean_row_bytes": float(totals["mean_row_bytes"] or 0.0),
