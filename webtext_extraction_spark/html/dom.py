@@ -393,7 +393,7 @@ class _TreeBuilder(HTMLParser):
         self._pos = 0
         self._rebase = 0
         self.root = Document()
-        self.root._parse_order = []
+        self.root._parse_order = self._order_list = []
         self.stack: list[Element] = [self.root]
         self.order = 0  # document pre-order counter (creation order)
         self.pending: list = []  # text pieces awaiting flush
@@ -429,7 +429,7 @@ class _TreeBuilder(HTMLParser):
         self.order += 1
         el = Element(tag, attr_map, parent, self.order)
         parent.children.append(el)
-        self.root._parse_order.append(el)
+        self._order_list.append(el)
         if tag not in VOID_ELEMENTS:
             if len(self.stack) >= MAX_DEPTH:
                 self.overflow_tags.append(tag)  # attach flat; named close below
@@ -447,13 +447,19 @@ class _TreeBuilder(HTMLParser):
         self.order += 1
         el = Element(tag, attr_map, parent, self.order)
         parent.children.append(el)
-        self.root._parse_order.append(el)
+        self._order_list.append(el)
 
     def handle_endtag(self, tag):
         if self.pending:
             parent = self.stack[-1]
             parent.children.append(TextNode(self.pending, parent))
             self.pending = []
+        if not self.overflow_tags:
+            # fast path: the end tag names the innermost open element
+            stack = self.stack
+            if len(stack) > 1 and stack[-1].name == tag:
+                stack.pop()
+                return
         if self.overflow_tags:
             # consume the most recent MATCHING flattened open (closing
             # any flattened opens above it, stack-scan semantics); an

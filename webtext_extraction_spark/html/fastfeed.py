@@ -68,14 +68,21 @@ if FAST_FEED_AVAILABLE:
 
 _TAG_BREAK_CHARS = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
-# fast paths for the two overwhelmingly-common tag shapes: '<name>' and
-# '</name>' with a plain ASCII-alphanumeric name and no attributes /
-# whitespace.  For exactly these inputs the stdlib machinery (two or
-# three tolerant regexes + a failed attrfind + strip) provably produces
-# handle_starttag(name.lower(), []) / handle_endtag(name.lower()) with
-# the same end position, so one anchored match replaces the chain;
-# anything else falls through to the stdlib-regex path unchanged.
-_SIMPLE_START = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
+# fast paths for the overwhelmingly-common tag shapes: '<name ...>' with
+# a plain ASCII-alphanumeric name and zero or more well-formed
+# double-quoted '&'-free attributes, and '</name>'.  For exactly these
+# inputs the stdlib machinery (tolerant regexes + attrfind loop +
+# unescape + strip) provably produces the same events with the same end
+# positions — plain names lowercase identically, quote stripping is the
+# same, and unescape of an '&'-free value is the identity — so one
+# anchored match replaces the chain; anything else falls through to the
+# stdlib-regex path unchanged (verified by tests/test_fastfeed_diff.py).
+_SIMPLE_START = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][a-zA-Z0-9_:.-]*=\"[^\"&]*\")*)"
+    r"\s*(/?)>"
+)
+_SIMPLE_ATTR = re.compile(r"\s+([a-zA-Z][a-zA-Z0-9_:.-]*)=\"([^\"&]*)\"")
 _SIMPLE_END = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
 
 
@@ -87,7 +94,18 @@ def _parse_starttag(b, rawdata: str, i: int):
     m = _SIMPLE_START.match(rawdata, i + 1)
     if m:
         tag = m.group(1).lower()
-        b.handle_starttag(tag, [])
+        rawattrs = m.group(2)
+        if rawattrs:
+            attrs = [
+                (am.group(1).lower(), am.group(2))
+                for am in _SIMPLE_ATTR.finditer(rawattrs)
+            ]
+        else:
+            attrs = []
+        if m.group(3):  # '/>' — empty-element tag
+            b.handle_startendtag(tag, attrs)
+            return m.end(), None
+        b.handle_starttag(tag, attrs)
         return m.end(), tag if tag in _CDATA_CLOSE else None
     m = locatestarttagend_tolerant.match(rawdata, i)
     j = m.end()
