@@ -618,9 +618,9 @@ def containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if rare_k < 1:
         raise ValueError(f"rare_k must be >= 1, got {rare_k}")
-    sets = df.select(
+    sets = df.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col).alias("_id"), hashed_word_set(F.col(text_col)).alias("_hs")
-    ).filter(F.size("_hs") >= 1)
+    )
     toks = sets.select("_id", F.explode("_hs").alias("_th"))
     dfreq = toks.groupBy("_th").agg(F.count("*").cast("long").alias("_dft"))
     w = Window.partitionBy("_id").orderBy("_dft", "_th")

@@ -144,11 +144,13 @@ def repetition_profile(
     """
     if top_n < 1 or dup_n < 1:
         raise ValueError(f"gram sizes must be >= 1, got top_n={top_n} dup_n={dup_n}")
-    base = df.select(
+    # rlike guard == size(words)>0 without re-running the tokenize in
+    # the pushed-down scan filter (same move as minhash_lsh_pairs)
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col).alias("_id"),
         F.length(F.col(text_col)).cast("double").alias("_chars"),
         words(F.col(text_col)).alias("_ws"),
-    ).filter(F.size("_ws") > 0)
+    )
     def _tagger(n: int):
         # NOTE: must be a one-arg lambda — transform() interprets a
         # two-arg lambda as the (element, index) form, so the usual
@@ -1979,9 +1981,9 @@ def bm25_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if k1 < 0 or b < 0 or b > 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
-    base = df.select(
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
-    ).filter(F.size("_ws") >= 1)
+    )
     toks = base.select(
         "_id", F.size("_ws").alias("_dl"), F.explode("_ws").alias("term")
     )
