@@ -199,7 +199,10 @@ def _selenium_variant(
 
 
 def extract_payload(
-    payload: str, tool: str = "", site_rules: dict | None = None
+    payload: str,
+    tool: str = "",
+    site_rules: dict | None = None,
+    url_domain: tuple[str, str] | None = None,
 ) -> ExtractResult:
     """Per-turn decision tree (W:345-601 collapsed onto one payload).
 
@@ -213,7 +216,9 @@ def extract_payload(
     into the generic failure row (W:437-442, W:580-601).  Any exception
     here becomes the generic failure_template row."""
     payload = payload or ""
-    url, domain = derive_url_and_domain(payload)
+    # callers that already derived (url, domain) for the output row
+    # pass it in so the header regexes run once per payload
+    url, domain = url_domain if url_domain is not None else derive_url_and_domain(payload)
 
     # timeout turns (P2): marker kept in output (W:1391-1393, Q5)
     if tool == "timeout":

@@ -120,8 +120,11 @@ class TrackedText:
                 stripped = t.strip()
                 if not stripped:
                     continue
-                a = len(t) - len(t.lstrip())
-                b = a + len(stripped)
+                if len(stripped) == len(t):  # nothing stripped — skip lstrip
+                    b = len(t)
+                else:
+                    a = len(t) - len(t.lstrip())
+                    b = a + len(stripped)
             if not first and separator:
                 texts.append(separator)
                 runs.append((-1, sep_len))

@@ -139,8 +139,8 @@ def _extract_batch(
             span_offsets.append(len(starts))
             continue
         lo = len(starts)
-        result = extract_payload(payload, tool, site_rules)
         url, domain = derive_url_and_domain(payload)
+        result = extract_payload(payload, tool, site_rules, url_domain=(url, domain))
         ex_texts.append(result.text)
         strategies.append(result.strategy)
         statuses.append(result.status)
