@@ -411,18 +411,21 @@ class _TreeBuilder(HTMLParser):
         return self._rebase + self._pos
 
     def _flush_text(self):
+        # copy+clear (not rebind): the pending list object is STABLE, so
+        # the fast driver appends data runs to it without a method call
         if self.pending:
             parent = self.stack[-1]
-            parent.children.append(TextNode(self.pending, parent))
-            self.pending = []
+            parent.children.append(TextNode(self.pending[:], parent))
+            self.pending.clear()
 
     # -- tag events (hot path: _flush_text / _attr_map are inlined — the
     # per-event call overhead is measurable at millions of pages) -----------
     def handle_starttag(self, tag, attrs):
         parent = self.stack[-1]
-        if self.pending:
-            parent.children.append(TextNode(self.pending, parent))
-            self.pending = []
+        pending = self.pending
+        if pending:
+            parent.children.append(TextNode(pending[:], parent))
+            pending.clear()
         attr_map = {}
         for k, v in attrs:
             attr_map[k] = v if v is not None else ""
@@ -438,9 +441,10 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         parent = self.stack[-1]
-        if self.pending:
-            parent.children.append(TextNode(self.pending, parent))
-            self.pending = []
+        pending = self.pending
+        if pending:
+            parent.children.append(TextNode(pending[:], parent))
+            pending.clear()
         attr_map = {}
         for k, v in attrs:
             attr_map[k] = v if v is not None else ""
@@ -450,10 +454,11 @@ class _TreeBuilder(HTMLParser):
         self._order_list.append(el)
 
     def handle_endtag(self, tag):
-        if self.pending:
+        pending = self.pending
+        if pending:
             parent = self.stack[-1]
-            parent.children.append(TextNode(self.pending, parent))
-            self.pending = []
+            parent.children.append(TextNode(pending[:], parent))
+            pending.clear()
         if not self.overflow_tags:
             # fast path: the end tag names the innermost open element
             stack = self.stack

@@ -274,6 +274,11 @@ def fast_feed(b, rawdata: str) -> None:
     cdata_elem = None
     interesting = interesting_normal
     handle_data = b.handle_data
+    # _TreeBuilder contract: the pending-pieces list object is stable
+    # (flush copies + clears), _rebase is 0 on a fresh builder — data
+    # runs append straight to it, skipping a method call per event
+    pending = getattr(b, "pending", None)
+    direct = pending is not None and getattr(b, "_rebase", None) == 0
     # The stdlib runs TWO goahead passes (feed(end=0), then close(end=1)).
     # Every feed-pass break simply resumes identically in the close pass —
     # except the bogus-'&#' bail, which resumes parsing after a feed-pass
@@ -289,8 +294,11 @@ def fast_feed(b, rawdata: str) -> None:
                 return  # unterminated CDATA tail is never emitted (stdlib)
             j = n
         if i < j:
-            b._pos = i
-            handle_data(rawdata[i:j])
+            if direct:
+                pending.append((rawdata[i:j], i, j, True))
+            else:
+                b._pos = i
+                handle_data(rawdata[i:j])
         i = j
         if i == n:
             break

@@ -173,6 +173,36 @@ def _chain_matches(el, chain, idx) -> bool:
     return False
 
 
+@lru_cache(maxsize=128)
+def _compile_decompose_set(selectors: tuple[str, ...]):
+    """Split a selector batch into (simple_tags, simple_classes,
+    complex_chains, has_adjacent) — pure function of the selector
+    strings, memoized because the built-in unwanted-selector batches
+    are fixed lists applied once per extracted page."""
+    has_adjacent = any(
+        comb == "adjacent"
+        for s in selectors
+        for chain in _parse_selector(s)
+        for comb, _c in chain
+    )
+    simple_tags: set[str] = set()
+    simple_classes: set[str] = set()
+    complex_chains: list = []
+    if not has_adjacent:
+        for selector in selectors:
+            for chain in _parse_selector(selector):
+                if len(chain) == 1:
+                    c = chain[0][1]
+                    if c.tag and c.tag != "*" and not c.classes and not c.ids and not c.attrs:
+                        simple_tags.add(c.tag)
+                        continue
+                    if not c.tag and len(c.classes) == 1 and not c.ids and not c.attrs:
+                        simple_classes.add(c.classes[0])
+                        continue
+                complex_chains.append(chain)
+    return simple_tags, simple_classes, complex_chains, has_adjacent
+
+
 def decompose_all(root, selectors: list[str]) -> None:
     """Decompose every descendant matching ANY selector — single tree
     walk instead of one walk per selector.  Final tree state is
@@ -186,31 +216,15 @@ def decompose_all(root, selectors: list[str]) -> None:
 
     Bare-tag and single-class compounds (all 26 boilerplate selectors)
     collapse into two set-membership tests per element."""
-    if any(
-        comb == "adjacent"
-        for s in selectors
-        for chain in _parse_selector(s)
-        for comb, _c in chain
-    ):
+    simple_tags, simple_classes, complex_chains, has_adjacent = (
+        _compile_decompose_set(tuple(selectors))
+    )
+    if has_adjacent:
         # exact sequential semantics, in list order
         for s in selectors:
             for el in select(root, s):
                 el.decompose()
         return
-    simple_tags: set[str] = set()
-    simple_classes: set[str] = set()
-    complex_chains = []
-    for selector in selectors:
-        for chain in _parse_selector(selector):
-            if len(chain) == 1:
-                c = chain[0][1]
-                if c.tag and c.tag != "*" and not c.classes and not c.ids and not c.attrs:
-                    simple_tags.add(c.tag)
-                    continue
-                if not c.tag and len(c.classes) == 1 and not c.ids and not c.attrs:
-                    simple_classes.add(c.classes[0])
-                    continue
-            complex_chains.append(chain)
     matches = []
     for el in root.descendants():
         if el.name in simple_tags:

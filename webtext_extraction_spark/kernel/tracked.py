@@ -29,19 +29,19 @@ import numpy as np
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
-def _offsets_from_runs(runs: list[tuple[int, int]]) -> np.ndarray:
-    """Offset array for a list of (src_start | -1, length) runs — the
-    vectorized equivalent of concatenating ``arange(s, s+l)`` (literal)
-    and ``full(l, -1)`` (synthetic) per run."""
-    if not runs:
+def _offsets_from_runs(run_starts: list[int], run_lens: list[int]) -> np.ndarray:
+    """Offset array for parallel (src_start | -1, length) run lists —
+    the vectorized equivalent of concatenating ``arange(s, s+l)``
+    (literal) and ``full(l, -1)`` (synthetic) per run."""
+    if not run_starts:
         return _EMPTY
-    if len(runs) == 1:
-        s, l = runs[0]
+    if len(run_starts) == 1:
+        s, l = run_starts[0], run_lens[0]
         if s < 0:
             return np.full(l, -1, dtype=np.int64)
         return np.arange(s, s + l, dtype=np.int64)
-    starts = np.fromiter((r[0] for r in runs), dtype=np.int64, count=len(runs))
-    lens = np.fromiter((r[1] for r in runs), dtype=np.int64, count=len(runs))
+    starts = np.array(run_starts, dtype=np.int64)
+    lens = np.array(run_lens, dtype=np.int64)
     firstpos = np.cumsum(lens) - lens
     lit = starts >= 0
     base = np.where(lit, starts - firstpos, -1)
@@ -106,7 +106,8 @@ class TrackedText:
         per-piece numpy arrays, no concatenate of dozens of small
         arrays (the hot path of ``get_text_tracked`` on large pages)."""
         texts: list[str] = []
-        runs: list[tuple[int, int]] = []  # (src_start or -1, length)
+        run_starts: list[int] = []  # src_start, or -1 for synthetic
+        run_lens: list[int] = []
         sep_len = len(separator)
         first = True
         for tn in nodes:
@@ -127,13 +128,15 @@ class TrackedText:
                     b = a + len(stripped)
             if not first and separator:
                 texts.append(separator)
-                runs.append((-1, sep_len))
+                run_starts.append(-1)
+                run_lens.append(sep_len)
             first = False
             if len(pieces) == 1:
                 if b > a:
                     texts.append(t[a:b])
                     p0 = pieces[0]
-                    runs.append((p0[1] + a if p0[3] else -1, b - a))
+                    run_starts.append(p0[1] + a if p0[3] else -1)
+                    run_lens.append(b - a)
                 continue
             # multi-piece node: clip each piece to the [a, b) keep-window
             pos = 0
@@ -142,11 +145,12 @@ class TrackedText:
                 lo, hi = max(a - pos, 0), min(b - pos, pn)
                 if hi > lo:
                     texts.append(pt[lo:hi])
-                    runs.append((ps + lo if lit else -1, hi - lo))
+                    run_starts.append(ps + lo if lit else -1)
+                    run_lens.append(hi - lo)
                 pos += pn
         if first:
             return cls.empty()
-        return cls("".join(texts), _offsets_from_runs(runs))
+        return cls("".join(texts), _offsets_from_runs(run_starts, run_lens))
 
     @classmethod
     def join(cls, sep: str, parts: list["TrackedText"]) -> "TrackedText":

@@ -205,6 +205,11 @@ def lsh_ann_topk(
 
     if query_ids is None:
         query_ids = [0, 1, 2]
+    # one shared bucketed subtree for BOTH sides: the query filter does
+    # not push below the rebalance, so broadcast-build and probe reuse
+    # the same shuffle stage and the bucket projection runs once
+    # (measured faster than separately-bucketed sides, which scan and
+    # bucket twice)
     bucketed = with_lsh_bucket(
         ensure_scan_parallelism(embeddings), vec_col, num_planes, dim
     )
