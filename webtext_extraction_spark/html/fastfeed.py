@@ -265,10 +265,31 @@ def _parse_html_declaration(b, rawdata: str, i: int) -> int:
     return _parse_bogus_comment(b, rawdata, i)
 
 
+_TREE = None
+
+
+def _bind_tree():
+    # late import (dom imports this module); cached tuple of the tree
+    # types/constants the fused fast paths need
+    global _TREE
+    from webtext_extraction_spark.html import dom as _dom
+
+    _TREE = (_dom.TextNode, _dom.Element, _dom.VOID_ELEMENTS, _dom.MAX_DEPTH)
+    return _TREE
+
+
 def fast_feed(b, rawdata: str) -> None:
     """Drive builder ``b`` through the full event stream for
     ``rawdata`` — identical events/positions to ``b.feed(rawdata);
-    b.close()`` on the stdlib parser."""
+    b.close()`` on the stdlib parser.
+
+    When ``b`` is a ``_TreeBuilder`` (the only production builder), the
+    common events are FUSED: data runs append straight to the stable
+    pending list, and the simple start/end-tag fast paths inline the
+    builder's handler bodies over local variables — a mechanical copy
+    of ``handle_starttag`` / ``handle_startendtag`` / ``handle_endtag``
+    statement for statement, so the resulting tree is identical (the
+    differential suite drives this path against the stdlib parser)."""
     n = len(rawdata)
     i = 0
     cdata_elem = None
@@ -279,6 +300,11 @@ def fast_feed(b, rawdata: str) -> None:
     # runs append straight to it, skipping a method call per event
     pending = getattr(b, "pending", None)
     direct = pending is not None and getattr(b, "_rebase", None) == 0
+    if direct:
+        TextNode, Element, void_elements, max_depth = _TREE or _bind_tree()
+        stack = b.stack
+        order_list = b._order_list
+        overflow = b.overflow_tags
     # The stdlib runs TWO goahead passes (feed(end=0), then close(end=1)).
     # Every feed-pass break simply resumes identically in the close pass —
     # except the bogus-'&#' bail, which resumes parsing after a feed-pass
@@ -309,11 +335,65 @@ def fast_feed(b, rawdata: str) -> None:
             # without a regex match per tag (starttagopen is '<[a-zA-Z]')
             nxt = rawdata[i + 1 : i + 2]
             if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+                if direct:
+                    m = _SIMPLE_START.match(rawdata, i + 1)
+                    if m:
+                        # fused _parse_starttag fast path +
+                        # handle_starttag/handle_startendtag body
+                        tag = m.group(1).lower()
+                        parent = stack[-1]
+                        if pending:
+                            parent.children.append(TextNode(pending[:], parent))
+                            pending.clear()
+                        attr_map = {}
+                        rawattrs = m.group(2)
+                        if rawattrs:
+                            for am in _SIMPLE_ATTR.finditer(rawattrs):
+                                attr_map[am.group(1).lower()] = am.group(2)
+                        b.order = order = b.order + 1
+                        el = Element(tag, attr_map, parent, order)
+                        parent.children.append(el)
+                        order_list.append(el)
+                        if not m.group(3):  # start tag (not '/>')
+                            if tag not in void_elements:
+                                if len(stack) >= max_depth:
+                                    overflow.append(tag)
+                                else:
+                                    stack.append(el)
+                            if tag in _CDATA_CLOSE:
+                                cdata_elem = tag
+                                interesting = _CDATA_CLOSE[tag]
+                        i = m.end()
+                        continue
                 k, opened = _parse_starttag(b, rawdata, i)
                 if opened is not None:
                     cdata_elem = opened
                     interesting = _CDATA_CLOSE[opened]
             elif nxt == "/":
+                if direct:
+                    m = _SIMPLE_END.match(rawdata, i + 2)
+                    if m:
+                        # fused _parse_endtag fast path
+                        elem = m.group(1).lower()
+                        k = m.end()
+                        if cdata_elem is not None and elem != cdata_elem:
+                            pending.append((rawdata[i:k], i, k, True))
+                            i = k
+                            continue
+                        # inline handle_endtag body
+                        if pending:
+                            parent = stack[-1]
+                            parent.children.append(TextNode(pending[:], parent))
+                            pending.clear()
+                        if not overflow and len(stack) > 1 and stack[-1].name == elem:
+                            stack.pop()  # innermost match
+                        else:
+                            b.handle_endtag(elem)  # overflow / stray cases
+                        if cdata_elem is not None:  # clear_cdata_mode
+                            cdata_elem = None
+                            interesting = interesting_normal
+                        i = k
+                        continue
                 k, new_cdata = _parse_endtag(b, rawdata, i, cdata_elem)
                 if new_cdata is not cdata_elem and k >= 0:
                     cdata_elem = new_cdata
