@@ -305,6 +305,9 @@ def fast_feed(b, rawdata: str) -> None:
         stack = b.stack
         order_list = b._order_list
         overflow = b.overflow_tags
+        # local pre-order counter; synced to b.order around any generic
+        # path that can create elements (_parse_starttag)
+        order = b.order
     # The stdlib runs TWO goahead passes (feed(end=0), then close(end=1)).
     # Every feed-pass break simply resumes identically in the close pass —
     # except the bogus-'&#' bail, which resumes parsing after a feed-pass
@@ -317,6 +320,8 @@ def fast_feed(b, rawdata: str) -> None:
             j = match.start()
         else:
             if cdata_elem:
+                if direct:
+                    b.order = order
                 return  # unterminated CDATA tail is never emitted (stdlib)
             j = n
         if i < j:
@@ -340,21 +345,21 @@ def fast_feed(b, rawdata: str) -> None:
                     if m:
                         # fused _parse_starttag fast path +
                         # handle_starttag/handle_startendtag body
-                        tag = m.group(1).lower()
+                        tag, rawattrs, slash = m.group(1, 2, 3)
+                        tag = tag.lower()
                         parent = stack[-1]
                         if pending:
                             parent.children.append(TextNode(pending[:], parent))
                             pending.clear()
                         attr_map = {}
-                        rawattrs = m.group(2)
                         if rawattrs:
                             for am in _SIMPLE_ATTR.finditer(rawattrs):
                                 attr_map[am.group(1).lower()] = am.group(2)
-                        b.order = order = b.order + 1
+                        order += 1
                         el = Element(tag, attr_map, parent, order)
                         parent.children.append(el)
                         order_list.append(el)
-                        if not m.group(3):  # start tag (not '/>')
+                        if not slash:  # start tag (not '/>')
                             if tag not in void_elements:
                                 if len(stack) >= max_depth:
                                     overflow.append(tag)
@@ -365,7 +370,11 @@ def fast_feed(b, rawdata: str) -> None:
                                 interesting = _CDATA_CLOSE[tag]
                         i = m.end()
                         continue
+                if direct:
+                    b.order = order
                 k, opened = _parse_starttag(b, rawdata, i)
+                if direct:
+                    order = b.order
                 if opened is not None:
                     cdata_elem = opened
                     interesting = _CDATA_CLOSE[opened]
@@ -468,6 +477,8 @@ def fast_feed(b, rawdata: str) -> None:
                 i += 1
             else:
                 break
+    if direct:
+        b.order = order
     # trailing emit (end=1; suppressed in CDATA mode, like the stdlib)
     if i < n and cdata_elem is None:
         b._pos = i
