@@ -1118,28 +1118,28 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the changed flag INSIDE the checkpointed frame: the
+        # convergence probe is then a filter-count over materialized
+        # rows instead of a shuffle join of new vs old labels (one
+        # fewer shuffle per probe; labels only ever decrease, so
+        # changed == new < old)
+        nl = F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label")))
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                nl.alias("label"),
+                (nl < F.col("label")).alias("_chg"),
             )
             .localCheckpoint()
         )
         if (i + 1) % check_every == 0 or i == max_iterations - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new_labels.filter(F.col("_chg")).count()
             if changed == 0:
                 labels = new_labels
                 converged = True
                 break
-        labels = new_labels
+        labels = new_labels.select("node", "label")
     edges.unpersist()
     if not converged:
         import warnings
