@@ -212,25 +212,33 @@ def main(argv=None):
     elif args.dedup == "neardup":
         if args.prior_signatures:
             # crawl-over-crawl: pairs require >=1 NEW side; cluster
-            # resolution runs over new ∪ prior nodes, so a new doc
-            # transitively linked to the existing corpus loses to the
-            # prior keeper (ids are monotone across crawls — the
-            # cluster min is the prior doc), while new-only clusters
-            # elect their own min-id keeper as usual
+            # resolution runs over new ∪ prior nodes.  A new doc in any
+            # cluster CONTAINING a prior node is dropped outright (the
+            # prior keeper already ships in the established corpus) —
+            # explicitly, not via min-id: --input-format wet assigns
+            # md5-hash doc_ids, so a new doc's id can sort below its
+            # prior near-duplicate and min-id election alone would
+            # wrongly keep it (ADVICE r05).  New-only clusters elect
+            # their min-id keeper as usual.
             prior_sigs = spark.read.parquet(args.prior_signatures)
             pairs = dedup.minhash_lsh_pairs_incremental(
                 docs, prior_sigs, idc, txt,
                 num_hashes=8, bands=4, jaccard_threshold=args.jaccard,
             )
-            nodes = docs.select(F.col(idc).alias("node")).unionByName(
-                prior_sigs.select(F.col(idc).alias("node"))
+            prior_nodes = prior_sigs.select(F.col(idc).alias("node"))
+            nodes = docs.select(F.col(idc).alias("node")).unionByName(prior_nodes)
+            comps = dedup.connected_components(pairs, nodes, check_every=2)
+            tainted = (
+                comps.join(prior_nodes, "node", "left_semi")
+                .select("component")
+                .distinct()
             )
             keepers = (
-                dedup.connected_components(pairs, nodes, check_every=2)
-                .filter(F.col("node") == F.col("component"))
+                comps.filter(F.col("node") == F.col("component"))
                 .join(
                     docs.select(F.col(idc).alias("node")), "node", "left_semi"
                 )
+                .join(tainted, "component", "left_anti")
                 .select(F.col("node").alias(idc))
             )
         else:

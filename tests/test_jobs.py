@@ -278,3 +278,44 @@ def test_run_curate_wet_ingestion_end_to_end(spark, tmp_path, monkeypatch):
     r0 = rows["http://site0.test/p/0"]
     assert r0["doc_id"] == portable_hash64_py("<urn:uuid:rec-0>")
     assert r0["source"] == "site0.test"
+
+
+def test_run_curate_incremental_nonmonotone_ids_drop_cross_crawl_dup(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r05: with --input-format wet the doc_id is an md5 hash, so
+    a NEW doc's id can sort BELOW its prior near-duplicate; min-id
+    election alone would crown the new doc the component root and keep
+    a cross-crawl duplicate.  Any new doc whose cluster contains a
+    prior node must drop regardless of id order."""
+    from jobs import run_curate
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    crawl1 = [
+        (900, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (901, "completely different prose about distributed query engines at scale"),
+    ]
+    crawl2 = [
+        # id sorts BELOW its prior near-dup 900 — the adversarial case
+        # (wet doc_ids are portable_hash64 values, not monotone counters)
+        (5, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (6, "fresh never-seen content about scanline filters and codecs"),
+    ]
+    in1, in2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    spark.createDataFrame(crawl1, ["doc_id", "text"]).write.parquet(in1)
+    spark.createDataFrame(crawl2, ["doc_id", "text"]).write.parquet(in2)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    sigs1 = str(tmp_path / "s1")
+
+    run_curate.main(
+        ["--input", in1, "--output", out1, "--dedup", "neardup",
+         "--jaccard", "0.7", "--emit-signatures", sigs1]
+    )
+    run_curate.main(
+        ["--input", in2, "--output", out2, "--dedup", "neardup",
+         "--jaccard", "0.7", "--prior-signatures", sigs1]
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    # 5 must DROP (its cluster contains prior 900) even though 5 < 900;
+    # 6 is genuinely new
+    assert kept == [6]

@@ -3104,3 +3104,47 @@ def test_winnow_overlap_pairs_hand_computed(spark):
         textstats.winnow_overlap_pairs(df, "doc_id", "text", min_shared=0)
     with pytest.raises(ValueError, match="max_df"):
         textstats.winnow_overlap_pairs(df, "doc_id", "text", max_df=1)
+
+
+def test_sessionize_bounded_null_keys_parity(spark):
+    """NULL is a legitimate session key (the window formulation groups
+    NULLs like any other key): a NULL-key history long enough to span
+    range partitions must stitch exactly like a named key (ADVICE r05:
+    sorted() over mixed None/str boundary keys raised, and the
+    isin()/== stitch predicates silently skipped NULL-key rows)."""
+    import datetime
+
+    from webtext_extraction_spark.operators.relational import (
+        sessionize,
+        sessionize_bounded,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # NULL key: 200 events with periodic gap jumps -> many sessions
+    ts = t0
+    for i in range(200):
+        ts += datetime.timedelta(seconds=2000 if i % 23 == 22 else 10)
+        rows.append((None, eid, ts))
+        eid += 1
+    # a few named keys around it, with ties
+    for k in range(8):
+        ts = t0 + datetime.timedelta(seconds=100 * k)
+        for i in range(5):
+            ts += datetime.timedelta(seconds=[0, 5, 700, 10, 900][i])
+            rows.append((f"k{k}", eid, ts))
+            eid += 1
+    df = spark.createDataFrame(rows, "key string, event_id long, ts timestamp")
+    want = {
+        (r["key"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, "key", "ts", 600, "event_id").collect()
+    }
+    for nparts in (1, 4, 16):
+        got = {
+            (r["key"], r["event_id"]): r["session_idx"]
+            for r in sessionize_bounded(
+                df, "key", "ts", 600, "event_id", num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, nparts

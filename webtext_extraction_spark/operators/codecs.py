@@ -1858,7 +1858,10 @@ def gif_frames(payload: bytes):
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:
-            bg = ct[bg_idx] if bg_idx < len(ct) else 0
+            # spec: the background color index addresses the GLOBAL
+            # color table (ADVICE r05 — using a frame-local table here
+            # composited the wrong background); black when absent
+            bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
             canvas[fy : fy + fh, fx : fx + fw] = bg
         elif disposal == 3:
             canvas[fy : fy + fh, fx : fx + fw] = saved

@@ -214,14 +214,21 @@ def sessionize_bounded(
         .agg(F.min(edge).alias("_first"), F.max(edge).alias("_last"))
         .collect()
     }
-    # driver job 2: local flag totals for boundary keys only
-    boundary_keys = sorted(
-        {r["_first"][key_col] for r in summary.values()}
-        | {r["_last"][key_col] for r in summary.values()}
-    )
+    # driver job 2: local flag totals for boundary keys only.  NULL is
+    # a legitimate key value (the window formulation groups NULLs like
+    # any other key — ADVICE r05): keep it out of sorted()/isin(),
+    # which would raise / silently drop it, and filter it explicitly.
+    boundary_key_set = {r["_first"][key_col] for r in summary.values()} | {
+        r["_last"][key_col] for r in summary.values()
+    }
+    has_null_boundary = None in boundary_key_set
+    boundary_keys = sorted(k for k in boundary_key_set if k is not None)
+    boundary_pred = F.col(key_col).isin(boundary_keys)
+    if has_null_boundary:
+        boundary_pred = boundary_pred | F.col(key_col).isNull()
     flagsum = {
         (r["_pid"], r[key_col]): r["s"]
-        for r in flagged.filter(F.col(key_col).isin(boundary_keys))
+        for r in flagged.filter(boundary_pred)
         .groupBy("_pid", key_col)
         .agg(F.sum("_flag").alias("s"))
         .collect()
@@ -253,9 +260,19 @@ def sessionize_bounded(
         out = out.join(F.broadcast(stitch_df), "_pid", "left").withColumn(
             "session_idx",
             F.col("_run")
-            + F.when(
-                F.col(key_col) == F.col("_stitch_key"), F.col("_stitch_off")
-            ).otherwise(0),
+            + F.coalesce(
+                F.when(
+                    # eqNullSafe: a NULL key spanning a range boundary
+                    # must still receive its carried offset (ADVICE
+                    # r05).  The outer coalesce covers the join-miss
+                    # case, where _stitch_key is NULL and eqNullSafe
+                    # against a NULL-key row is (wrongly) true with a
+                    # NULL offset.
+                    F.col(key_col).eqNullSafe(F.col("_stitch_key")),
+                    F.col("_stitch_off"),
+                ).otherwise(0),
+                F.lit(0),
+            ),
         )
     else:
         out = out.withColumn("session_idx", F.col("_run"))

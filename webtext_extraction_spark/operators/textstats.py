@@ -1760,8 +1760,12 @@ def bigram_logprob(
     total = model.agg(F.sum("cnt")).collect()[0][0] or 0
     spark = df.sparkSession
     if total == 0:
+        # id field type mirrors the input (ADVICE r05: a hardcoded
+        # 'long' diverged from the non-empty path for string ids,
+        # breaking downstream unions/joins)
+        id_type = df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{id_col} long, n_bigrams int, logprob_mean double"
+            [], f"{id_col} {id_type}, n_bigrams int, logprob_mean double"
         )
     prefixes = model.groupBy("h1").agg(F.sum("cnt").cast("long").alias("c1"))
     scored = (
@@ -2097,7 +2101,8 @@ def shuffle_corpus(
         offsets.append((pid, acc))
         acc += counts[pid]
     if not offsets:
-        return spark.createDataFrame([], f"{id_col} long, shuffle_pos long")
+        id_type = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"{id_col} {id_type}, shuffle_pos long")
     off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy("_t", "_id")
     return (
